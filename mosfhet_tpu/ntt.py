@@ -1,0 +1,463 @@
+"""Exact negacyclic NTT over 31-bit Proth primes with CRT readback to u64.
+
+This module is the TPU-native replacement for the reference's pluggable f64
+FFT backends (`src/fft/spqlios/*`, `src/fft/ffnt/*`).  Instead of floating
+point (TPUs have no fast f64), polynomial products are computed *exactly*:
+
+    u64 coefficients --(mod p_m)--> residues --NTT--> pointwise mul/acc
+        --iNTT--> residues --Garner CRT--> exact value mod 2^64
+
+The Chinese-remainder product of the primes exceeds twice the largest
+possible negacyclic-convolution magnitude for each use case, so the CRT
+reconstruction is exact and the final `mod 2^64` matches infinite-precision
+integer arithmetic.  Compared with the reference, which tolerates ~2^-40
+relative FFT error (`test/tests.c:238`), this backend contributes *zero*
+noise — and it also subsumes the exact 128-bit Karatsuba path
+(`src/fft/karatsuba.c`) by switching to a wider prime set.
+
+Hot-loop arithmetic uses only u64 multiply/add/shift/compare (all native or
+cheaply emulated on the TPU VPU):
+  - Shoup multiplication for products with precomputed constants (twiddles,
+    key material): 2 multiplies, 1 shift, 1 subtract, lazy in [0, 2p).
+  - A small Barrett reduction for lazily accumulated sums.
+u64 division only appears on cold paths (key import, on-the-fly Shoup
+companions).
+
+Transforms use the Longa-Naehrig merged-psi iteration: forward CT output is
+bit-reversed, inverse GS consumes bit-reversed — pointwise products never
+need an explicit bit-reversal permutation.
+
+Array convention: residue tensors carry the prime axis second-to-last,
+shape [..., P, N]; the polynomial axis N stays last (TPU lane dimension).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+# Proth primes p = c * 2^e + 1 with 2^23 | p-1 (supports N up to 2^22),
+# ascending (Garner requires p_j < p_m for j < m to skip reductions).
+# All > 2^28 so the Barrett constants below stay in range.
+MASTER_PRIMES = (469762049, 754974721, 998244353, 1811939329, 2013265921)
+DEFAULT_PRIMES = (998244353, 1811939329, 2013265921)
+# Wider set for exact "128-bit" products (tensor product / relinearization,
+# reference `src/fft/karatsuba.c`): product ≈ 2^149.8 > 2 * N * 2^126.
+TENSOR_PRIMES = MASTER_PRIMES
+
+
+def primes_for_bound(bound: int):
+    """Smallest suffix of MASTER_PRIMES (largest primes first) whose product
+    exceeds ``2 * bound`` — i.e. a prime set whose centered CRT range can
+    represent any integer with |value| <= bound."""
+    chosen = []
+    prod = 1
+    for p in reversed(MASTER_PRIMES):
+        chosen.append(p)
+        prod *= p
+        if prod > 2 * bound:
+            return tuple(sorted(chosen))
+    raise ValueError(f"bound 2^{math.log2(float(bound)):.1f} exceeds CRT capacity")
+
+
+def conv_bound(N: int, max_abs_digit: int, j_terms: int) -> int:
+    """Magnitude bound for sum_{j<J} digit_poly_j (*) torus_poly_j with
+    |digits| <= max_abs_digit and centered torus coefficients <= 2^63."""
+    return N * max_abs_digit * (1 << 63) * j_terms
+
+_U64 = jnp.uint64
+
+
+def _factorize(n: int):
+    fs = {}
+    d = 2
+    while d * d <= n:
+        while n % d == 0:
+            fs[d] = fs.get(d, 0) + 1
+            n //= d
+        d += 1
+    if n > 1:
+        fs[n] = fs.get(n, 0) + 1
+    return fs
+
+
+def _primitive_root(p: int) -> int:
+    fs = _factorize(p - 1)
+    for g in range(2, 1000):
+        if all(pow(g, (p - 1) // q, p) != 1 for q in fs):
+            return g
+    raise ValueError(f"no primitive root found for {p}")
+
+
+def _bitrev(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+def _shoup_companion(w: int, p: int) -> int:
+    return (w << 32) // p
+
+
+class NTTPlan:
+    """Precomputed tables for negacyclic NTTs of length N over a prime set."""
+
+    def __init__(self, N: int, primes=DEFAULT_PRIMES):
+        assert N & (N - 1) == 0
+        self.N = N
+        self.logN = int(math.log2(N))
+        self.primes = tuple(primes)
+        self.P = len(self.primes)
+        assert list(self.primes) == sorted(self.primes)
+
+        psi_rev = np.zeros((self.P, N), dtype=np.uint64)
+        psi_rev_sh = np.zeros((self.P, N), dtype=np.uint64)
+        ipsi_rev = np.zeros((self.P, N), dtype=np.uint64)
+        ipsi_rev_sh = np.zeros((self.P, N), dtype=np.uint64)
+        n_inv = np.zeros((self.P,), dtype=np.uint64)
+        n_inv_sh = np.zeros((self.P,), dtype=np.uint64)
+
+        for m, p in enumerate(self.primes):
+            assert (p - 1) % (2 * N) == 0, f"{p} has no 2N-th root for N={N}"
+            g = _primitive_root(p)
+            psi = pow(g, (p - 1) // (2 * N), p)
+            ipsi = pow(psi, p - 2, p)
+            for i in range(N):
+                b = _bitrev(i, self.logN)
+                w = pow(psi, b, p)
+                iw = pow(ipsi, b, p)
+                psi_rev[m, i] = w
+                psi_rev_sh[m, i] = _shoup_companion(w, p)
+                ipsi_rev[m, i] = iw
+                ipsi_rev_sh[m, i] = _shoup_companion(iw, p)
+            ninv = pow(N, p - 2, p)
+            n_inv[m] = ninv
+            n_inv_sh[m] = _shoup_companion(ninv, p)
+
+        self.p = jnp.asarray(np.array(self.primes, dtype=np.uint64))
+        self.mu = jnp.asarray(
+            np.array([(1 << 60) // p for p in self.primes], dtype=np.uint64)
+        )
+        self.psi_rev = jnp.asarray(psi_rev)
+        self.psi_rev_shoup = jnp.asarray(psi_rev_sh)
+        self.ipsi_rev = jnp.asarray(ipsi_rev)
+        self.ipsi_rev_shoup = jnp.asarray(ipsi_rev_sh)
+        self.n_inv = jnp.asarray(n_inv)
+        self.n_inv_shoup = jnp.asarray(n_inv_sh)
+
+        # --- Garner mixed-radix CRT constants ---------------------------
+        # t_m = (r_m - sum_{j<m} t_j * prefix_j) * inv(prefix_m) mod p_m,
+        # where prefix_j = p_0 * ... * p_{j-1}.
+        self.garner_w = []        # [m][j] -> (prefix_j mod p_m, shoup)
+        self.garner_cinv = []     # [m] -> (inv(prefix_m) mod p_m, shoup)
+        for m in range(self.P):
+            p = self.primes[m]
+            row = []
+            prefix = 1
+            for j in range(m):
+                w = prefix % p
+                row.append((jnp.uint64(w), jnp.uint64(_shoup_companion(w, p))))
+                prefix *= self.primes[j]
+            self.garner_w.append(row)
+            if m > 0:
+                c = pow(prefix % p, p - 2, p)
+                self.garner_cinv.append(
+                    (jnp.uint64(c), jnp.uint64(_shoup_companion(c, p)))
+                )
+            else:
+                self.garner_cinv.append(None)
+        self.p_u64 = [jnp.uint64(p) for p in self.primes]
+        self.half_last = jnp.uint64(self.primes[-1] // 2)
+        # Max possible |value| the CRT range supports (for callers to assert
+        # their convolution bound fits): prod(primes) // 2.
+        self.crt_half_range = 1
+        for p in self.primes:
+            self.crt_half_range *= p
+        self.crt_half_range //= 2
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(N: int, primes=DEFAULT_PRIMES) -> NTTPlan:
+    return NTTPlan(N, primes)
+
+
+# --- modular primitives (all operate on u64 arrays) ----------------------
+
+def shoup_mul_lazy(a, w, w_shoup, p):
+    """a*w mod p, result in [0, 2p).  Requires a < 2^31 (i.e. fully reduced
+    inputs for p < 2^31) and w < p, with w_shoup = floor(w * 2^32 / p)."""
+    q = (a * w_shoup) >> jnp.uint64(32)
+    return a * w - q * p
+
+
+def shoup_mul(a, w, w_shoup, p):
+    r = shoup_mul_lazy(a, w, w_shoup, p)
+    return jnp.where(r >= p, r - p, r)
+
+
+def make_shoup(w, p):
+    """On-the-fly Shoup companion (uses u64 division — cold paths only)."""
+    return (w << jnp.uint64(32)) // p
+
+
+def barrett_small(z, p, mu):
+    """z mod p for z < 2^59, with mu = floor(2^60 / p), p > 2^28."""
+    q = ((z >> jnp.uint64(28)) * mu) >> jnp.uint64(32)
+    r = z - q * p
+    two_p = p << jnp.uint64(1)
+    r = jnp.where(r >= two_p, r - two_p, r)
+    return jnp.where(r >= p, r - p, r)
+
+
+def to_resi_u64(x, plan: NTTPlan):
+    """u64 torus coefficients [..., N] -> residues [..., P, N].
+
+    Coefficients are centered to their signed representatives in
+    (-2^63, 2^63] first (a two's-complement reinterpret); this halves the
+    integer magnitude bound of downstream convolutions, and the final
+    `mod 2^64` readback is unaffected (representatives differ by multiples
+    of 2^64).  Cold path (u64 remainder)."""
+    return to_resi_i64(jnp.asarray(x, jnp.uint64).astype(jnp.int64), plan)
+
+
+def to_resi_u64_raw(x, plan: NTTPlan):
+    """u64 coefficients -> residues of the *unsigned* representative.
+
+    Needed where mod-2^128 (not mod-2^64) semantics matter: the exact
+    tensor-product path accumulates unsigned 64x64 products in a wrapping
+    128-bit integer (`fft/karatsuba.c:61-90`), so the integer being CRT'd
+    must be built from unsigned representatives to reproduce the high limb.
+    """
+    return jnp.asarray(x, jnp.uint64)[..., None, :] % plan.p[:, None]
+
+
+def to_resi_i64(x, plan: NTTPlan):
+    """Signed int64 coefficients (e.g. secret keys) -> residues [..., P, N]."""
+    r = x[..., None, :].astype(jnp.int64) % plan.p[:, None].astype(jnp.int64)
+    return r.astype(jnp.uint64)
+
+
+def to_resi_small(d, plan: NTTPlan):
+    """Small signed digits (|d| < min p) [..., N] -> residues [..., P, N].
+    Division-free hot path for gadget-decomposed digits."""
+    d = d.astype(jnp.int64)[..., None, :]
+    p = plan.p[:, None].astype(jnp.int64)
+    return jnp.where(d < 0, d + p, d).astype(jnp.uint64)
+
+
+# --- transforms -----------------------------------------------------------
+
+def forward_ntt(x, plan: NTTPlan):
+    """Negacyclic forward NTT over the last axis.
+
+    x: [..., P, N] u64 residues in [0, p).  Output (bit-reversed order)
+    residues in [0, p).  Cooley-Tukey with merged psi powers — the
+    algorithmic spec is the same transform the reference computes with
+    SPQLIOS assembly (`src/fft/spqlios/spqlios-fft-impl.c`), done exactly.
+    """
+    N, P = plan.N, plan.P
+    batch = x.shape[:-2]
+    m, t = 1, N
+    while m < N:
+        t //= 2
+        xr = x.reshape(batch + (P, m, 2, t))
+        U = xr[..., 0, :]
+        V = xr[..., 1, :]
+        S = plan.psi_rev[:, m:2 * m][:, :, None]
+        Ss = plan.psi_rev_shoup[:, m:2 * m][:, :, None]
+        pp = plan.p[:, None, None]
+        Vw = shoup_mul(V, S, Ss, pp)
+        add = U + Vw
+        add = jnp.where(add >= pp, add - pp, add)
+        sub = U + pp - Vw
+        sub = jnp.where(sub >= pp, sub - pp, sub)
+        x = jnp.stack([add, sub], axis=-2).reshape(batch + (P, N))
+        m *= 2
+    return x
+
+
+def inverse_ntt(x, plan: NTTPlan):
+    """Inverse of `forward_ntt` (consumes bit-reversed order), including the
+    1/N scaling.  Output residues in [0, p)."""
+    N, P = plan.N, plan.P
+    batch = x.shape[:-2]
+    t, h = 1, N // 2
+    while h >= 1:
+        xr = x.reshape(batch + (P, h, 2, t))
+        U = xr[..., 0, :]
+        V = xr[..., 1, :]
+        S = plan.ipsi_rev[:, h:2 * h][:, :, None]
+        Ss = plan.ipsi_rev_shoup[:, h:2 * h][:, :, None]
+        pp = plan.p[:, None, None]
+        add = U + V
+        add = jnp.where(add >= pp, add - pp, add)
+        diff = U + pp - V
+        diff = jnp.where(diff >= pp, diff - pp, diff)
+        W = shoup_mul(diff, S, Ss, pp)
+        x = jnp.stack([add, W], axis=-2).reshape(batch + (P, N))
+        t *= 2
+        h //= 2
+    pp = plan.p[:, None]
+    x = shoup_mul(x, plan.n_inv[:, None], plan.n_inv_shoup[:, None], pp)
+    return x
+
+
+def garner_u64(r, plan: NTTPlan):
+    """Residues [..., P, N] -> exact signed CRT value reduced mod 2^64.
+
+    Mixed-radix (Garner) reconstruction; the top digit is centered, so any
+    integer with |value| < prod(p)/2 round-trips exactly — the caller must
+    keep its convolution magnitudes within `plan.crt_half_range`.
+    """
+    P = plan.P
+    ts = [r[..., 0, :]]
+    for m in range(1, P):
+        p = plan.p_u64[m]
+        mu = plan.mu[m]
+        acc = ts[0]
+        for j in range(1, m):
+            w, ws = plan.garner_w[m][j]
+            acc = acc + shoup_mul_lazy(ts[j], w, ws, p)
+        if m > 1:
+            acc = barrett_small(acc, p, mu)
+        diff = r[..., m, :] + p - acc
+        diff = jnp.where(diff >= p, diff - p, diff)
+        c, cs = plan.garner_cinv[m]
+        ts.append(shoup_mul(diff, c, cs, p))
+    # center top digit, then Horner mod 2^64
+    top = ts[-1]
+    v = jnp.where(top > plan.half_last, top - plan.p_u64[P - 1], top)
+    for m in range(P - 2, -1, -1):
+        v = v * plan.p_u64[m] + ts[m]
+    return v
+
+
+def garner_u128(r, plan: NTTPlan):
+    """Residues -> value mod 2^128 as two u64 limbs (lo, hi).
+
+    Matches the reference's exact path, which accumulates negacyclic
+    products in `__uint128_t` (wrapping mod 2^128, `fft/karatsuba.c:61-90`):
+    the mixed-radix Horner below wraps mod 2^128 the same way.  The top
+    Garner digit is centered, so negative values appear in two's complement.
+    """
+    P = plan.P
+    ts = [r[..., 0, :]]
+    for m in range(1, P):
+        p = plan.p_u64[m]
+        mu = plan.mu[m]
+        acc = ts[0]
+        for j in range(1, m):
+            w, ws = plan.garner_w[m][j]
+            acc = acc + shoup_mul_lazy(ts[j], w, ws, p)
+        if m > 1:
+            acc = barrett_small(acc, p, mu)
+        diff = r[..., m, :] + p - acc
+        diff = jnp.where(diff >= p, diff - p, diff)
+        c, cs = plan.garner_cinv[m]
+        ts.append(shoup_mul(diff, c, cs, p))
+    top = ts[-1]
+    neg = top > plan.half_last
+    lo = jnp.where(neg, top - plan.p_u64[P - 1], top)
+    hi = jnp.where(neg, ~jnp.uint64(0), jnp.uint64(0))
+    mask32 = jnp.uint64(0xFFFFFFFF)
+    for m in range(P - 2, -1, -1):
+        p = plan.p_u64[m]          # p < 2^31
+        l0 = lo & mask32
+        l1 = lo >> jnp.uint64(32)
+        a = l0 * p                 # <= 2^63
+        b = l1 * p                 # <= 2^63
+        lo2 = a + (b << jnp.uint64(32))
+        carry = jnp.where(lo2 < a, jnp.uint64(1), jnp.uint64(0))
+        hi = hi * p + (b >> jnp.uint64(32)) + carry
+        lo3 = lo2 + ts[m]
+        hi = hi + jnp.where(lo3 < lo2, jnp.uint64(1), jnp.uint64(0))
+        lo = lo3
+    return lo, hi
+
+
+def garner_shifted_u64(r, plan: NTTPlan, bit_scale: int):
+    """((value mod 2^128) >> bit_scale) mod 2^64 — the readback used by the
+    exact tensor-product path (`karatsuba_u128_scale64`,
+    `fft/karatsuba.c:92-101`).  0 <= bit_scale <= 64, logical shift."""
+    lo, hi = garner_u128(r, plan)
+    if bit_scale == 0:
+        return lo
+    if bit_scale == 64:
+        return hi
+    s = jnp.uint64(bit_scale)
+    return (lo >> s) | (hi << jnp.uint64(64 - bit_scale))
+
+
+def from_ntt_u64(x, plan: NTTPlan):
+    """[..., P, N] NTT-domain -> exact u64 coefficients [..., N]."""
+    return garner_u64(inverse_ntt(x, plan), plan)
+
+
+def to_ntt_u64(x, plan: NTTPlan):
+    """u64 coefficients [..., N] -> NTT domain [..., P, N] (cold path)."""
+    return forward_ntt(to_resi_u64(x, plan), plan)
+
+
+def to_ntt_small(d, plan: NTTPlan):
+    """Small signed digits [..., N] -> NTT domain (division-free hot path)."""
+    return forward_ntt(to_resi_small(d, plan), plan)
+
+
+# --- pointwise algebra in NTT domain -------------------------------------
+
+def pointwise_mul(a, b, plan: NTTPlan):
+    """Generic pointwise product (both operands dynamic, cold-ish path)."""
+    pp = plan.p[:, None]
+    bs = make_shoup(b, pp)
+    return shoup_mul(a, b, bs, pp)
+
+
+def pointwise_mul_key(a, key_val, key_shoup, plan: NTTPlan):
+    """Pointwise product against precomputed key material (hot path)."""
+    pp = plan.p[:, None]
+    return shoup_mul(a, key_val, key_shoup, pp)
+
+
+def pointwise_mul_acc_key(a, key_val, key_shoup, plan: NTTPlan, axis: int):
+    """sum over `axis` of a * key, all in NTT domain.
+
+    a:        [..., J, ..., P, N] u64 (fully reduced)
+    key_val:  broadcast-compatible, with Shoup companions
+    Products are kept lazy in [0, 2p) and accumulated in u64; the reduction
+    axis length J must satisfy J * 2p < 2^59 (J < 2^27 — always true here).
+    """
+    pp = plan.p[:, None]
+    prods = shoup_mul_lazy(a, key_val, key_shoup, pp)
+    s = jnp.sum(prods, axis=axis, dtype=jnp.uint64)
+    return barrett_small(s, pp, plan.mu[:, None])
+
+
+def add(a, b, plan: NTTPlan):
+    pp = plan.p[:, None]
+    s = a + b
+    return jnp.where(s >= pp, s - pp, s)
+
+
+def sub(a, b, plan: NTTPlan):
+    pp = plan.p[:, None]
+    d = a + pp - b
+    return jnp.where(d >= pp, d - pp, d)
+
+
+def neg(a, plan: NTTPlan):
+    pp = plan.p[:, None]
+    return jnp.where(a == 0, a, pp - a)
+
+
+def scale_u64(a, c, plan: NTTPlan):
+    """Multiply NTT-domain values by an u64 scalar (matches the reference's
+    `polynomial_scale_and_add_DFT_polynomials` semantics where DFT values are
+    scaled by an integer, `polynomial.c:106-120`)."""
+    pp = plan.p[:, None]
+    cr = jnp.asarray(c, jnp.uint64) % pp
+    return pointwise_mul(a, jnp.broadcast_to(cr, a.shape), plan)

@@ -1,0 +1,172 @@
+"""TLWE: LWE over the discretized torus, with a leading batch axis.
+
+Mirrors `src/tlwe.c`: keygen, (noiseless) encryption, phase/decryption,
+linear ops, and the digit-decomposed key switch.  Everything broadcasts over
+arbitrary leading batch dims; ciphertexts are PyTrees of u64 arrays.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import rng as _rng
+from .torus import TORUS_DTYPE, TORUS_BITS
+
+
+@flax.struct.dataclass
+class TLWE:
+    """Ciphertext (a, b) with b = m + <s, a> + e (`tlwe.c:106-115`)."""
+    a: jax.Array  # [..., n] u64
+    b: jax.Array  # [...]    u64
+
+    @property
+    def n(self):
+        return self.a.shape[-1]
+
+
+@flax.struct.dataclass
+class TLWEKey:
+    s: jax.Array  # [n] int64, small entries
+    sigma: float = flax.struct.field(pytree_node=False)
+
+    @property
+    def n(self):
+        return self.s.shape[-1]
+
+
+def new_bounded_key(key, n: int, bound: int, sigma: float) -> TLWEKey:
+    """Uniform key in [-(bound/2-1), bound/2] (`tlwe.c:70-78`)."""
+    return TLWEKey(s=_rng.bounded_key_array(key, (n,), bound), sigma=sigma)
+
+
+def new_binary_key(key, n: int, sigma: float) -> TLWEKey:
+    return new_bounded_key(key, n, 2, sigma)
+
+
+def encrypt(m, skey: TLWEKey, key) -> TLWE:
+    """b = m + sum_i s_i a_i + e (`tlwe_sample`, `tlwe.c:106-115`).
+    ``m``: u64 torus array of any batch shape."""
+    m = jnp.asarray(m, TORUS_DTYPE)
+    ka, ke = jax.random.split(key)
+    a = _rng.uniform_torus(ka, m.shape + (skey.n,))
+    e = _rng.normal_torus(ke, skey.sigma, m.shape)
+    b = m + jnp.sum(a * skey.s.astype(TORUS_DTYPE), axis=-1, dtype=TORUS_DTYPE) + e
+    return TLWE(a=a, b=b)
+
+
+def noiseless_trivial(m, n: int) -> TLWE:
+    """(0, m) (`tlwe.c:19-29`)."""
+    m = jnp.asarray(m, TORUS_DTYPE)
+    return TLWE(a=jnp.zeros(m.shape + (n,), TORUS_DTYPE), b=m)
+
+
+def phase(c: TLWE, skey: TLWEKey):
+    """b - <s, a> (`tlwe_phase`, `tlwe.c:135-141`)."""
+    return c.b - jnp.sum(c.a * skey.s.astype(TORUS_DTYPE), axis=-1, dtype=TORUS_DTYPE)
+
+
+# --- linear algebra (`tlwe.c:143-191`) ------------------------------------
+
+def add(c1: TLWE, c2: TLWE) -> TLWE:
+    return TLWE(a=c1.a + c2.a, b=c1.b + c2.b)
+
+
+def sub(c1: TLWE, c2: TLWE) -> TLWE:
+    return TLWE(a=c1.a - c2.a, b=c1.b - c2.b)
+
+
+def neg(c: TLWE) -> TLWE:
+    return TLWE(a=jnp.uint64(0) - c.a, b=jnp.uint64(0) - c.b)
+
+
+def scale(c: TLWE, w) -> TLWE:
+    w = jnp.asarray(w, TORUS_DTYPE)
+    return TLWE(a=c.a * w[..., None], b=c.b * w)
+
+
+# --- key switching ---------------------------------------------------------
+
+@flax.struct.dataclass
+class TLWEKSKey:
+    """Precomputed table: entry [i, j, v] encrypts
+    s_in[i] * (v+1) * 2^(64-(j+1)*base_bit) under the output key
+    (`tlwe_new_KS_key`, `tlwe.c:193-212`)."""
+    a: jax.Array  # [n_in, t, base-1, n_out] u64
+    b: jax.Array  # [n_in, t, base-1] u64
+    t: int = flax.struct.field(pytree_node=False)
+    base_bit: int = flax.struct.field(pytree_node=False)
+
+
+def new_ks_key(key, out_key: TLWEKey, in_key: TLWEKey, t: int,
+               base_bit: int) -> TLWEKSKey:
+    base = 1 << base_bit
+    n_in = in_key.n
+    shifts = jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+    )
+    vals = jnp.arange(1, base, dtype=jnp.uint64)
+    # m[i, j, v] = s_in[i] * (v+1) << shift_j
+    m = (in_key.s.astype(TORUS_DTYPE)[:, None, None]
+         * vals[None, None, :]) << shifts[None, :, None]
+    c = encrypt(m, out_key, key)
+    return TLWEKSKey(a=c.a, b=c.b, t=t, base_bit=base_bit)
+
+
+def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
+    """Digit-decompose each a_i and subtract table entries
+    (`tlwe_keyswitch`, `tlwe.c:289-303`).  The reference's `if aij != 0`
+    branch becomes a dense select (an exact skip, so masking with zero is
+    noise-free).  Runs as a scan over n_in chunks to bound the gather
+    intermediate."""
+    t, base_bit = ksk.t, ksk.base_bit
+    n_in = ksk.a.shape[0]
+    n_out = ksk.a.shape[-1]
+    batch = c.b.shape
+
+    prec_offset = jnp.uint64(1 << (TORUS_BITS - (1 + base_bit * t)))
+    mask = jnp.uint64((1 << base_bit) - 1)
+    shifts = jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+    )
+    ai = c.a + prec_offset                                  # [..., n_in]
+    dig = (ai[..., None] >> shifts) & mask                  # [..., n_in, t]
+
+    chunk = min(n_in, 128)
+    n_chunks = -(-n_in // chunk)
+    pad = n_chunks * chunk - n_in
+    if pad:
+        dig = jnp.concatenate(
+            [dig, jnp.zeros(batch + (pad, t), dig.dtype)], axis=-2
+        )
+    base_m1 = ksk.a.shape[2]
+    ks_a = jnp.concatenate(
+        [ksk.a, jnp.zeros((pad, t, base_m1, n_out), TORUS_DTYPE)], axis=0
+    ) if pad else ksk.a
+    ks_b = jnp.concatenate(
+        [ksk.b, jnp.zeros((pad, t, base_m1), TORUS_DTYPE)], axis=0
+    ) if pad else ksk.b
+
+    # [C, ..., chunk, t]
+    dig_s = jnp.moveaxis(dig.reshape(batch + (n_chunks, chunk, t)), -3, 0)
+    ks_a = ks_a.reshape(n_chunks, chunk * t * base_m1, n_out)
+    ks_b = ks_b.reshape(n_chunks, chunk * t * base_m1)
+    pos = (jnp.arange(chunk)[:, None] * t + jnp.arange(t)[None, :]) * base_m1
+
+    def body(acc, xs):
+        d, ka, kb = xs                                      # d: [..., chunk, t]
+        nz = d != 0
+        flat = pos + jnp.maximum(d.astype(jnp.int32) - 1, 0)
+        ga = jnp.take(ka, flat, axis=0)                     # [..., chunk, t, n_out]
+        gb = jnp.take(kb, flat, axis=0)                     # [..., chunk, t]
+        za = jnp.where(nz[..., None], ga, jnp.uint64(0))
+        zb = jnp.where(nz, gb, jnp.uint64(0))
+        acc_a, acc_b = acc
+        return (acc_a + jnp.sum(za, axis=(-3, -2), dtype=TORUS_DTYPE),
+                acc_b + jnp.sum(zb, axis=(-2, -1), dtype=TORUS_DTYPE)), None
+
+    init = (jnp.zeros(batch + (n_out,), TORUS_DTYPE),
+            jnp.zeros(batch, TORUS_DTYPE))
+    (sa, sb), _ = jax.lax.scan(body, init, (dig_s, ks_a, ks_b))
+    return TLWE(a=jnp.uint64(0) - sa, b=c.b - sb)

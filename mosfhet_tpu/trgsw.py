@@ -1,0 +1,259 @@
+"""TRGSW: gadget ciphertexts and the external product — the PBS hot kernel.
+
+Mirrors `src/trgsw.c` and `src/register.c`.  A TRGSW is (k+1)*l TRLWE rows
+stored as one dense tensor; row r = comp*l + digit encrypts m * X^e * h_digit
+added at component `comp` (`trgsw_monomial_sample`, `trgsw.c:152-168`).
+
+The external product (`trgsw_mul_trlwe_DFT`, `trgsw.c:385-423`) is fused
+batched tensor algebra here:
+
+    digits   = gadget-decompose(TRLWE)          [..., J, N]     (J=(k+1)l)
+    spectrum = NTT(digits)                      [..., J, P, N]
+    acc      = sum_J spectrum * KEY             [..., k+1, P, N]
+    out      = CRT-iNTT(acc)                    TRLWE
+
+All arithmetic exact; the TRGSW-in-NTT-form carries Shoup companions so the
+accumulation is multiply-shift only.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import ntt as _ntt
+from . import polynomial as _poly
+from . import trlwe as _trlwe
+from .trlwe import TRLWE, TRLWEDFT, TRLWEKey, from_stacked
+from .torus import TORUS_DTYPE, TORUS_BITS
+
+
+@flax.struct.dataclass
+class TRGSWKey:
+    trlwe_key: TRLWEKey
+    l: int = flax.struct.field(pytree_node=False)
+    Bg_bit: int = flax.struct.field(pytree_node=False)
+
+    def plan(self):
+        """Plan for external products: J=(k+1)l digit convolutions with
+        |digit| <= Bg/2 against centered torus operands."""
+        k = self.trlwe_key.k
+        bound = _ntt.conv_bound(
+            self.trlwe_key.N, 1 << (self.Bg_bit - 1), (k + 1) * self.l
+        )
+        return _ntt.get_plan(self.trlwe_key.N, _ntt.primes_for_bound(bound))
+
+
+def new_key(trlwe_key: TRLWEKey, l: int, Bg_bit: int) -> TRGSWKey:
+    return TRGSWKey(trlwe_key=trlwe_key, l=l, Bg_bit=Bg_bit)
+
+
+@flax.struct.dataclass
+class TRGSW:
+    """rows[..., r, c, N]: r = comp*l + digit in [0,(k+1)l), c in [0,k+1)
+    (component axis, b last)."""
+    rows: jax.Array
+    l: int = flax.struct.field(pytree_node=False)
+    Bg_bit: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def k(self):
+        return self.rows.shape[-2] - 1
+
+    @property
+    def N(self):
+        return self.rows.shape[-1]
+
+
+@flax.struct.dataclass
+class TRGSWDFT:
+    """NTT-form TRGSW with Shoup companions: [..., r, c, P, N]."""
+    v: jax.Array
+    vs: jax.Array | None
+    l: int = flax.struct.field(pytree_node=False)
+    Bg_bit: int = flax.struct.field(pytree_node=False)
+    primes: tuple = flax.struct.field(pytree_node=False)
+
+    @property
+    def k(self):
+        return self.v.shape[-3] - 1
+
+    @property
+    def N(self):
+        return self.v.shape[-1]
+
+    def plan(self):
+        return _ntt.get_plan(self.N, self.primes)
+
+
+def _gadget_values(l: int, Bg_bit: int):
+    return jnp.array(
+        [1 << (TORUS_BITS - (i + 1) * Bg_bit) for i in range(l)],
+        dtype=jnp.uint64,
+    )
+
+
+def _add_monomial_rows(rows, m, e, l, Bg_bit, k, N):
+    """rows[comp*l + i, comp] += m * h_i * X^(e mod N) with sign folding
+    (`trgsw.c:152-168`).  m, e are Python ints or scalar arrays."""
+    m = jnp.asarray(m, jnp.int64)
+    e = jnp.asarray(e, jnp.int32)
+    m = jnp.where((e & N) != 0, -m, m)
+    e = e & (N - 1)
+    h = _gadget_values(l, Bg_bit) * m.astype(TORUS_DTYPE)       # [l]
+    onehot = (jnp.arange(N, dtype=jnp.int32) == e).astype(TORUS_DTYPE)
+    r = jnp.arange((k + 1) * l) // l                            # comp of row
+    c = jnp.arange(k + 1)
+    sel = (r[:, None] == c[None, :]).astype(TORUS_DTYPE)        # [R, k+1]
+    hh = jnp.tile(h, k + 1)                                     # h per row
+    return rows + sel[..., None] * hh[:, None, None] * onehot
+
+
+def monomial_encrypt(m, e, key: TRGSWKey, rkey) -> TRGSW:
+    """TRGSW(m * X^e) (`trgsw_monomial_sample`, `trgsw.c:152-175`)."""
+    l, Bg_bit = key.l, key.Bg_bit
+    k, N = key.trlwe_key.k, key.trlwe_key.N
+    R = (k + 1) * l
+    zeros = _trlwe.encrypt(jnp.zeros((R, N), TORUS_DTYPE), key.trlwe_key, rkey)
+    rows = zeros.stacked()                                      # [R, k+1, N]
+    rows = _add_monomial_rows(rows, m, e, l, Bg_bit, k, N)
+    return TRGSW(rows=rows, l=l, Bg_bit=Bg_bit)
+
+
+def encrypt(m, key: TRGSWKey, rkey) -> TRGSW:
+    return monomial_encrypt(m, 0, key, rkey)
+
+
+def noiseless_trivial(m, l: int, Bg_bit: int, k: int, N: int) -> TRGSW:
+    """(`trgsw_noiseless_trivial_sample`, `trgsw.c:130-148`)."""
+    rows = jnp.zeros(((k + 1) * l, k + 1, N), TORUS_DTYPE)
+    rows = _add_monomial_rows(rows, m, 0, l, Bg_bit, k, N)
+    return TRGSW(rows=rows, l=l, Bg_bit=Bg_bit)
+
+
+def to_dft(g: TRGSW, plan: _ntt.NTTPlan, with_shoup: bool = True) -> TRGSWDFT:
+    v = _ntt.to_ntt_u64(g.rows, plan)
+    vs = _ntt.make_shoup(v, plan.p[:, None]) if with_shoup else None
+    return TRGSWDFT(v=v, vs=vs, l=g.l, Bg_bit=g.Bg_bit, primes=plan.primes)
+
+
+def from_dft(g: TRGSWDFT) -> TRGSW:
+    return TRGSW(rows=_ntt.from_ntt_u64(g.v, g.plan()),
+                 l=g.l, Bg_bit=g.Bg_bit)
+
+
+# --- linear ops (`trgsw.c:275-342`) -----------------------------------------
+
+def add(g1: TRGSW, g2: TRGSW) -> TRGSW:
+    return TRGSW(rows=g1.rows + g2.rows, l=g1.l, Bg_bit=g1.Bg_bit)
+
+
+def sub(g1: TRGSW, g2: TRGSW) -> TRGSW:
+    return TRGSW(rows=g1.rows - g2.rows, l=g1.l, Bg_bit=g1.Bg_bit)
+
+
+def dft_add(g1: TRGSWDFT, g2: TRGSWDFT) -> TRGSWDFT:
+    plan = g1.plan()
+    return TRGSWDFT(v=_ntt.add(g1.v, g2.v, plan), vs=None,
+                    l=g1.l, Bg_bit=g1.Bg_bit, primes=g1.primes)
+
+
+def dft_sub(g1: TRGSWDFT, g2: TRGSWDFT) -> TRGSWDFT:
+    plan = g1.plan()
+    return TRGSWDFT(v=_ntt.sub(g1.v, g2.v, plan), vs=None,
+                    l=g1.l, Bg_bit=g1.Bg_bit, primes=g1.primes)
+
+
+def mul_by_xai(g: TRGSW, a) -> TRGSW:
+    a_arr = jnp.asarray(a)
+    return TRGSW(rows=_poly.mul_by_xai(g.rows, a_arr[..., None, None]),
+                 l=g.l, Bg_bit=g.Bg_bit)
+
+
+def mul_by_xai_minus_1(g: TRGSW, a) -> TRGSW:
+    a_arr = jnp.asarray(a)
+    return TRGSW(rows=_poly.mul_by_xai_minus_1(g.rows, a_arr[..., None, None]),
+                 l=g.l, Bg_bit=g.Bg_bit)
+
+
+# --- the external product -----------------------------------------------------
+
+def external_product(c: TRLWE, g: TRGSWDFT) -> TRLWE:
+    """TRGSW (x) TRLWE — the hot kernel (`trgsw_mul_trlwe_DFT`,
+    `trgsw.c:385-423`).  Batched over leading axes of both operands."""
+    plan = g.plan()
+    digits = _trlwe.decompose(c, g.Bg_bit, g.l)                 # [..., J, N]
+    spec = _ntt.to_ntt_small(digits, plan)                      # [..., J, P, N]
+    acc = _ntt.pointwise_mul_acc_key(
+        spec[..., :, None, :, :], g.v, g.vs, plan, axis=-4
+    )                                                           # [..., k+1, P, N]
+    return from_stacked(_ntt.from_ntt_u64(acc, plan))
+
+
+def external_product_dft(c: TRLWE, g: TRGSWDFT) -> TRLWEDFT:
+    """Same, but leave the accumulator in NTT domain (callers that add
+    several products before converting)."""
+    plan = g.plan()
+    digits = _trlwe.decompose(c, g.Bg_bit, g.l)
+    spec = _ntt.to_ntt_small(digits, plan)
+    acc = _ntt.pointwise_mul_acc_key(
+        spec[..., :, None, :, :], g.v, g.vs, plan, axis=-4
+    )
+    return TRLWEDFT(v=acc, vs=None, primes=g.primes)
+
+
+def mul_trgsw_dft(g1: TRGSW, g2: TRGSWDFT) -> TRGSWDFT:
+    """TRGSW x TRGSW: external product row-by-row (`trgsw_mul_DFT`,
+    `trgsw.c:425-431`).  Rows become a batch axis — one fused call."""
+    rows = from_stacked(g1.rows)            # TRLWE with batch axis R
+    out = external_product_dft(rows, g2)    # [..., R, k+1, P, N]
+    return TRGSWDFT(v=out.v, vs=None, l=g1.l, Bg_bit=g1.Bg_bit,
+                    primes=g2.primes)
+
+
+def naive_mul_trlwe(c: TRLWE, g: TRGSW) -> TRLWE:
+    """O(N^2) oracle (`trgsw_naive_mul_trlwe`, `trgsw.c:452-470`).
+    Test-only."""
+    digits = _trlwe.decompose(c, g.Bg_bit, g.l, rounded=False)
+    d64 = digits.astype(jnp.int64).astype(TORUS_DTYPE)          # [..., J, N]
+    prods = _poly.naive_negacyclic_mul(d64[..., :, None, :], g.rows)
+    return from_stacked(jnp.sum(prods, axis=-3, dtype=TORUS_DTYPE))
+
+
+# --- TRGSW registers (`src/register.c`) ----------------------------------------
+
+@flax.struct.dataclass
+class TRGSWReg:
+    """Pair (positive, negative) of TRGSW-DFT encrypting X^m and X^-m
+    (`register.c`, `mosfhet.h:123-127`)."""
+    positive: TRGSWDFT
+    negative: TRGSWDFT
+
+
+def reg_encrypt(m: int, key: TRGSWKey, rkey) -> TRGSWReg:
+    k1, k2 = jax.random.split(rkey)
+    plan = key.plan()
+    pos = to_dft(monomial_encrypt(1, m, key, k1), plan)
+    neg_ = to_dft(monomial_encrypt(1, -m, key, k2), plan)
+    return TRGSWReg(positive=pos, negative=neg_)
+
+
+def reg_add(r1: TRGSWReg, r2: TRGSWReg) -> TRGSWReg:
+    """X^(m1+m2) via TRGSW x TRGSW products (`register.c:46-58`)."""
+    p = mul_trgsw_dft(from_dft(r1.positive), r2.positive)
+    n = mul_trgsw_dft(from_dft(r1.negative), r2.negative)
+    return TRGSWReg(positive=_with_shoup(p), negative=_with_shoup(n))
+
+
+def reg_sub(r1: TRGSWReg, r2: TRGSWReg) -> TRGSWReg:
+    """X^(m1-m2) (`register.c:60-71`)."""
+    p = mul_trgsw_dft(from_dft(r1.positive), r2.negative)
+    n = mul_trgsw_dft(from_dft(r1.negative), r2.positive)
+    return TRGSWReg(positive=_with_shoup(p), negative=_with_shoup(n))
+
+
+def _with_shoup(g: TRGSWDFT) -> TRGSWDFT:
+    plan = g.plan()
+    return TRGSWDFT(v=g.v, vs=_ntt.make_shoup(g.v, plan.p[:, None]),
+                    l=g.l, Bg_bit=g.Bg_bit, primes=g.primes)
