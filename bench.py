@@ -1,0 +1,91 @@
+"""Headline benchmark: batched programmable-bootstrap throughput on one chip.
+
+Mirrors the reference's `test/benchmark.c:263-265` (functional bootstrap,
+unfold=1, TFHEpp Level-2 parameters: n=632, N=2048, k=1, l=4, Bg_bit=9).
+Baseline (BASELINE.md): 40.9 ms/bootstrap single-core AVX-512 = 24.4/s.
+
+Prints ONE JSON line:
+  {"metric": "pbs_throughput", "value": <bootstraps/sec>, "unit": "boot/s",
+   "vs_baseline": <value / 24.4>}
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
+
+    p = params.TFHEPP_L2
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    key = jax.random.PRNGKey(2024)
+    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+    t0 = time.time()
+    key_tlwe = tlwe.new_binary_key(k0, p.n, p.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(k1, p.N, p.k, p.rlwe_sigma)
+    key_out = trlwe.extract_tlwe_key(key_trlwe)
+    gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
+    bk = jax.jit(
+        lambda rk, kt: bootstrap.new_key(rk, gk, kt, 1)
+    )(k2, key_tlwe)
+    jax.block_until_ready(bk.v)
+    print(f"# keygen: {time.time()-t0:.1f}s  bk.v {bk.v.shape} "
+          f"{bk.v.nbytes/2**20:.0f} MiB (x2 shoup)", file=sys.stderr)
+
+    luts = rng.uniform_torus(k3, (4,))
+    tv = trlwe.torus_packing(luts, p.k, p.N)
+    ms = torus.double2torus((jnp.arange(batch) % 4) / 8.0)
+    cs = jax.jit(lambda m, kk: tlwe.encrypt(m, key_tlwe, kk))(ms, k4)
+
+    # NB: the bootstrap key must be a jit *argument* — closing over it would
+    # embed ~1 GiB of constants into the compile payload.
+    pbs_fn = jax.jit(lambda tv, cs, bk: bootstrap.functional_bootstrap(
+        tv, cs, bk, 4))
+    pbs = lambda tv, cs: pbs_fn(tv, cs, bk)
+
+    t0 = time.time()
+    out = pbs(tv, cs)
+    jax.block_until_ready(out.b)
+    print(f"# first call (compile+run): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # correctness spot-check: decrypt and compare slots
+    ph = jnp.asarray(jax.jit(tlwe.phase)(out, key_out), jnp.uint64)
+    want = luts[jnp.arange(batch) % 4]
+    err = jnp.abs((ph - want).astype(jnp.int64).astype(jnp.float64))
+    ok = bool(jnp.all(err <= 2.0**58))
+    print(f"# decrypt check: {'OK' if ok else 'FAIL'} "
+          f"(max err 2^{float(jnp.log2(jnp.maximum(err.max(), 1.0))):.1f})",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = pbs(tv, cs)
+        jax.block_until_ready(out.b)
+        times.append(time.time() - t0)
+    dt = min(times)
+    thr = batch / dt
+    print(f"# {dt*1e3:.1f} ms / {batch} bootstraps = "
+          f"{dt/batch*1e3:.2f} ms/bootstrap", file=sys.stderr)
+    result = {
+        "metric": "pbs_throughput_L2_unfold1",
+        "value": round(thr, 2),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(thr / 24.4, 2),
+        "batch": batch,
+        "decrypt_ok": ok,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

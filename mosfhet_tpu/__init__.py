@@ -36,8 +36,11 @@ from . import trlwe
 from . import trgsw
 from . import keyswitch
 from . import bootstrap
+from . import bootstrap_ga
+from . import product
 from . import seeded
 from . import io
+from . import parallel
 from .params import TFHEParams, get_params, PARAM_REGISTRY
 
 __version__ = "0.1.0"

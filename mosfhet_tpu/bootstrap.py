@@ -314,3 +314,253 @@ def multivalue_bootstrap_UBR_phase2(tv: TRLWE, c: TLWE, sa: TRGSWDFT,
 
     acc_st, _ = jax.lax.scan(step, acc.stacked(), (sa_v, sa_vs))
     return _trlwe.extract_tlwe(from_stacked(acc_st), 0)
+
+
+# =========================================================================
+# TRGSW-accumulator blind rotate (`bootstrap.c:267-306`)
+# =========================================================================
+
+def blind_rotate_trgsw(tv: TRGSW, a, bk: BootstrapKey) -> TRGSW:
+    """CMUX chain on a TRGSW accumulator (`blind_rotate_trgsw`).
+    Rows act as a batch axis for the external products."""
+    assert bk.unfolding == 1
+    plan = bk.plan()
+    N, k, l, Bg_bit = bk.N, bk.k, tv.l, tv.Bg_bit
+    log_N2 = int(math.log2(2 * N))
+    a_int = torus2int(jnp.asarray(a, TORUS_DTYPE), log_N2).astype(jnp.int32)
+    a_scan = jnp.moveaxis(a_int, -1, 0)
+
+    def step(rows, xs):
+        bk_v, bk_vs, ai = xs
+        rot = _poly.mul_by_xai(rows, ai[..., None, None]) - rows
+        digits = gadget_decompose(rot, Bg_bit, l)        # [..., R, k+1, l, N]
+        digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
+        spec = _ntt.to_ntt_small(digits, plan)
+        acc = _ntt.pointwise_mul_acc_key(
+            spec[..., :, None, :, :], bk_v, bk_vs, plan, axis=-4)
+        return rows + _ntt.from_ntt_u64(acc, plan), None
+
+    rows, _ = jax.lax.scan(step, tv.rows, (bk.v, bk.vs, a_scan))
+    return TRGSW(rows=rows, l=tv.l, Bg_bit=tv.Bg_bit)
+
+
+def functional_bootstrap_trgsw_phase1(c: TLWE, bk: BootstrapKey,
+                                      torus_base: int, l: int,
+                                      Bg_bit: int) -> TRGSWDFT:
+    """Blind-rotate a trivial TRGSW(1) to get TRGSW(X^-phase)
+    (`functional_bootstrap_trgsw_phase1`, `bootstrap.c:285-295`)."""
+    N, k = bk.N, bk.k
+    log_N2 = int(math.log2(2 * N))
+    tv = _trgsw.noiseless_trivial(1, l, Bg_bit, k, N)
+    b_int = torus2int(c.b + _prec_offset(torus_base), log_N2).astype(jnp.int32)
+    tv = _trgsw.mul_by_xai(tv, 2 * N - b_int)
+    rot = blind_rotate_trgsw(tv, c.a, bk)
+    g = _trgsw.to_dft(rot, bk.plan(), with_shoup=True)
+    return g
+
+
+def functional_bootstrap_trgsw_phase2(g: TRGSWDFT, tv: TRLWE) -> TLWE:
+    """One external product against any test vector
+    (`functional_bootstrap_trgsw_phase2`, `bootstrap.c:297-306`)."""
+    out = _trgsw.external_product(tv, g)
+    return _trlwe.extract_tlwe(out, 0)
+
+
+# =========================================================================
+# circuit bootstrap: TLWE -> TRGSW (`bootstrap.c:309-366`)
+# =========================================================================
+
+def _gadget_h(i: int, Bg_bit: int):
+    return jnp.uint64(1 << (TORUS_BITS - (i + 1) * Bg_bit))
+
+
+def circuit_bootstrap(c: TLWE, bk: BootstrapKey, kska, kskb,
+                      l: int, Bg_bit: int) -> TRGSW:
+    """v1: l functional bootstraps + priv-KS/packing1-KS per level
+    (`circuit_bootstrap`, `bootstrap.c:309-322`).  k must be 1."""
+    from . import keyswitch as _ks
+    assert bk.k == 1
+    rows_a, rows_b = [], []
+    for i in range(l):
+        lut = jnp.array([0, _gadget_h(i, Bg_bit)], dtype=TORUS_DTYPE)
+        tv = _trlwe.torus_packing(lut, bk.k, bk.N)
+        tmp = functional_bootstrap(tv, c, bk, 2)
+        rows_a.append(_ks.priv_keyswitch(tmp, kska).stacked())
+        rows_b.append(_ks.packing1_keyswitch(tmp, kskb).stacked())
+    rows = jnp.stack(rows_a + rows_b, axis=-3)
+    return TRGSW(rows=rows, l=l, Bg_bit=Bg_bit)
+
+
+def circuit_bootstrap_2(c: TLWE, bk: BootstrapKey, kska, kskb,
+                        l: int, Bg_bit: int) -> TRGSW:
+    """v2: single many-LUT bootstrap, then KS per level
+    (`circuit_bootstrap_2`, `bootstrap.c:324-344`)."""
+    from . import keyswitch as _ks
+    assert bk.k == 1
+    slot = bk.N // (2 * l)
+    lut = jnp.concatenate([
+        jnp.zeros((l,), TORUS_DTYPE),
+        jnp.array([_gadget_h(i, Bg_bit) for i in range(l)], TORUS_DTYPE),
+    ])
+    tv = _trlwe.torus_packing(lut, bk.k, bk.N)
+    acc = functional_bootstrap_wo_extract(tv, c, bk, 2 * l)
+    rows_a, rows_b = [], []
+    for i in range(l):
+        tmp = _trlwe.extract_tlwe(acc, i * slot)
+        rows_a.append(_ks.priv_keyswitch(tmp, kska).stacked())
+        rows_b.append(_ks.packing1_keyswitch(tmp, kskb).stacked())
+    rows = jnp.stack(rows_a + rows_b, axis=-3)
+    return TRGSW(rows=rows, l=l, Bg_bit=Bg_bit)
+
+
+def circuit_bootstrap_3(c: TLWE, bk: BootstrapKey, kska_pair, kskb,
+                        l: int, Bg_bit: int) -> TRGSW:
+    """v3: KS-based using the TRLWE priv-KS pair
+    (`circuit_bootstrap_3`, `bootstrap.c:346-366`)."""
+    from . import keyswitch as _ks
+    assert bk.k == 1
+    slot = bk.N // (2 * l)
+    lut = jnp.concatenate([
+        jnp.zeros((l,), TORUS_DTYPE),
+        jnp.array([_gadget_h(i, Bg_bit) for i in range(l)], TORUS_DTYPE),
+    ])
+    tv = _trlwe.torus_packing(lut, bk.k, bk.N)
+    acc = functional_bootstrap_wo_extract(tv, c, bk, 2 * l)
+    rows_a, rows_b = [], []
+    for i in range(l):
+        tmp = _trlwe.extract_tlwe(acc, i * slot)
+        b_row = _ks.packing1_keyswitch(tmp, kskb)
+        rows_b.append(b_row.stacked())
+        rows_a.append(_ks.priv_keyswitch_2(b_row, kska_pair).stacked())
+    rows = jnp.stack(rows_a + rows_b, axis=-3)
+    return TRGSW(rows=rows, l=l, Bg_bit=Bg_bit)
+
+
+# =========================================================================
+# public mux + full-domain functional bootstraps (`bootstrap.c:368-538`)
+# =========================================================================
+
+def public_mux(p0, p1, selector_v, l: int, Bg_bit: int, k: int, N: int,
+               primes) -> TRLWE:
+    """out = {p0, p1}[selector]: decompose the cleartext difference and
+    accumulate against the TRLWE-DFT selector rows
+    (`public_mux`, `bootstrap.c:368-389`).
+
+    p0, p1: [..., N] u64 cleartext; selector_v: [..., l, k+1, P, N]."""
+    plan = _ntt.get_plan(N, primes)
+    p = jnp.asarray(p1, TORUS_DTYPE) - jnp.asarray(p0, TORUS_DTYPE)
+    dec = gadget_decompose(p, Bg_bit, l, rounded=False)   # [..., l, N]
+    spec = _ntt.to_ntt_small(dec, plan)                   # [..., l, P, N]
+    prods = _ntt.pointwise_mul(selector_v, spec[..., :, None, :, :], plan)
+    acc = prods[..., 0, :, :, :]
+    for i in range(1, l):
+        acc = _ntt.add(acc, prods[..., i, :, :, :], plan)
+    out = from_stacked(_ntt.from_ntt_u64(acc, plan))
+    return TRLWE(a=out.a, b=out.b + jnp.asarray(p0, TORUS_DTYPE))
+
+
+def fdfb_ks21(tv_poly, c: TLWE, bk: BootstrapKey, ksk, torus_base: int,
+              use_many_lut: bool = True) -> TLWE:
+    """Full-domain functional bootstrap, KS21 style: bootstrap the
+    decomposed sign, public-mux the folded test vector, bootstrap again
+    (`full_domain_functional_bootstrap_KS21{,_2}`, `bootstrap.c:391-454`).
+
+    tv_poly: [2N] u64 cleartext test vector covering the full domain
+    (`tests.c:1076-1077`)."""
+    from . import keyswitch as _ks
+    N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
+    plan = bk.plan()
+
+    sel_rows = []
+    if use_many_lut:
+        slot = N // (l * torus_base // 2)
+        lut = jnp.array(
+            [jnp.uint64(0) - (_gadget_h(i, Bg_bit) >> jnp.uint64(1))
+             for i in range(l) for _ in range(torus_base // 2)], TORUS_DTYPE)
+        # sign value per level: -(h_i / 2)
+        tv1 = _trlwe.torus_packing_many_lut(lut, torus_base // 2, l, k, N)
+        acc = functional_bootstrap_wo_extract(tv1, c, bk, l * torus_base // 2)
+        for i in range(l):
+            sign = jnp.uint64(0) - (_gadget_h(i, Bg_bit) >> jnp.uint64(1))
+            tmp = _trlwe.extract_tlwe(acc, i * slot)
+            tmp = TLWE(a=tmp.a, b=tmp.b - sign)
+            sel_rows.append(_ks.packing1_keyswitch(tmp, ksk))
+    else:
+        for i in range(l):
+            sign = jnp.uint64(0) - (_gadget_h(i, Bg_bit) >> jnp.uint64(1))
+            tv1 = _trlwe.torus_packing(jnp.array([sign], TORUS_DTYPE), k, N)
+            tmp = functional_bootstrap(tv1, c, bk, torus_base // 2)
+            tmp = TLWE(a=tmp.a, b=tmp.b - sign)
+            sel_rows.append(_ks.packing1_keyswitch(tmp, ksk))
+    sel_v = jnp.stack(
+        [_ntt.to_ntt_u64(r.stacked(), plan) for r in sel_rows], axis=-4)
+
+    tvp = jnp.asarray(tv_poly, TORUS_DTYPE)
+    assert tvp.shape[-1] == 2 * N
+    p0 = tvp[..., :N]
+    p1 = jnp.uint64(0) - tvp[..., N:]
+    muxed = public_mux(p0, p1, sel_v, l, Bg_bit, k, N, bk.primes)
+    return functional_bootstrap(muxed, c, bk, torus_base // 2)
+
+
+def fdfb_clot21(tv0: TRLWE, tv1: TRLWE, c: TLWE, bk: BootstrapKey, ksk, rlk,
+                precision: int) -> TLWE:
+    """FDFB via f0/f1/sign products (`full_domain_functional_bootstrap_
+    CLOT21`, `bootstrap.c:456-481`)."""
+    from . import tlwe as _tlwe
+    from .product import tlwe_mul
+    N, k = bk.N, bk.k
+    sign = jnp.uint64(1 << (TORUS_BITS - precision - 1))
+    tv_sign = _trlwe.torus_packing(jnp.array([sign], TORUS_DTYPE), k, N)
+    tb = 1 << (precision - 1)
+    ct_f0 = functional_bootstrap(tv0, c, bk, tb)
+    ct_f1 = functional_bootstrap(tv1, c, bk, tb)
+    ct_sign = functional_bootstrap(tv_sign, c, bk, tb)
+    s_minus = TLWE(a=ct_sign.a, b=ct_sign.b - sign)
+    ct_f1 = tlwe_mul(ct_f1, s_minus, precision, ksk, rlk)
+    s_plus = TLWE(a=s_minus.a, b=s_minus.b + sign + sign)
+    ct_f0 = tlwe_mul(ct_f0, s_plus, precision, ksk, rlk)
+    return _tlwe.add(ct_f0, ct_f1)
+
+
+def fdfb_clot21_2(tv_values, c: TLWE, bk: BootstrapKey, ksk, rlk,
+                  precision: int) -> TLWE:
+    """Single-blind-rotate CLOT21 FDFB (`bootstrap.c:483-517`).
+    tv_values: [2*torus_base] u64 cleartext (f0 then f1 halves)."""
+    from . import tlwe as _tlwe
+    from .product import tlwe_mul
+    N, k = bk.N, bk.k
+    torus_base = 1 << (precision - 2)
+    slot = N // (4 * torus_base)
+    sign = jnp.uint64(1 << (TORUS_BITS - precision - 1))
+    lut = jnp.concatenate([
+        jnp.asarray(tv_values, TORUS_DTYPE),
+        jnp.full((torus_base,), sign, TORUS_DTYPE),
+        jnp.zeros((torus_base,), TORUS_DTYPE),
+    ])
+    tv = _trlwe.torus_packing_many_lut(lut, torus_base, 4, k, N)
+    acc = functional_bootstrap_wo_extract(tv, c, bk, 4 * torus_base)
+    ct_f0 = _trlwe.extract_tlwe(acc, 0)
+    ct_f1 = _trlwe.extract_tlwe(acc, slot)
+    ct_sign = _trlwe.extract_tlwe(acc, 2 * slot)
+    s_minus = TLWE(a=ct_sign.a, b=ct_sign.b - sign)
+    ct_f1 = tlwe_mul(ct_f1, s_minus, precision, ksk, rlk)
+    s_plus = TLWE(a=s_minus.a, b=s_minus.b + sign + sign)
+    ct_f0 = tlwe_mul(ct_f0, s_plus, precision, ksk, rlk)
+    return _tlwe.add(ct_f0, ct_f1)
+
+
+def fdfb_this_work(tv: TRLWE, c: TLWE, bk: BootstrapKey, tlwe_ksk,
+                   precision: int) -> TLWE:
+    """FDFB "this work": sign bootstrap -> add to input -> half-domain
+    bootstrap (`full_domain_functional_bootstrap`, `bootstrap.c:519-538`)."""
+    from . import tlwe as _tlwe
+    N, k = bk.N, bk.k
+    sign = jnp.uint64(((1 << (TORUS_BITS - 2))
+                       - (1 << (TORUS_BITS - precision - 2))) & ((1 << 64) - 1))
+    tv_sign = _trlwe.torus_packing(jnp.array([sign], TORUS_DTYPE), k, N)
+    ct_sign = functional_bootstrap(tv_sign, c, bk, 1 << (precision - 1))
+    ct_sign = TLWE(a=ct_sign.a, b=ct_sign.b - sign)
+    in2 = _tlwe.keyswitch(ct_sign, tlwe_ksk)
+    in2 = _tlwe.add(in2, c)
+    return functional_bootstrap(tv, in2, bk, 1 << precision)

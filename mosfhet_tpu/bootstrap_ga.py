@@ -1,0 +1,181 @@
+"""Blind rotation via Galois automorphisms (eprint 2022/198 Alg. 4,
+all-odd variant) — `src/bootstrap_ga.c`.
+
+The rotation exponents become automorphism generators, which are
+*data-dependent* per ciphertext.  On TPU the per-step generator selects a
+key-switching key by dynamic gather from the stacked all-odd keyset, and the
+Galois permutation itself is a dynamic gather with a precomputed
+inverse-mod-2N table (`misc.c:142-159`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ntt as _ntt
+from . import trlwe as _trlwe
+from . import trgsw as _trgsw
+from . import keyswitch as _ks
+from .bootstrap import _prec_offset
+from .tlwe import TLWE, TLWEKey
+from .trgsw import TRGSWKey
+from .trlwe import TRLWE, from_stacked
+from .torus import TORUS_DTYPE, torus2int, gadget_decompose
+
+
+def inverse_mod_2n_table(N: int) -> np.ndarray:
+    """inv[x >> 1] = x^-1 mod 2N for odd x (`inverse_mod_2N`,
+    `misc.c:142-159` — computed, not tabulated)."""
+    out = np.zeros(N, dtype=np.int32)
+    for x in range(1, 2 * N, 2):
+        out[x >> 1] = pow(x, -1, 2 * N)
+    return out
+
+
+@flax.struct.dataclass
+class GABootstrapKey:
+    """TRGSW(X^{s_i}) per key bit + all-odd automorphism KS keyset
+    (`new_bootstrap_key_ga`, `bootstrap_ga.c:5-24`)."""
+    s_v: jax.Array    # [n, (k+1)l, k+1, P, N]
+    s_vs: jax.Array
+    ak_v: jax.Array   # [N, k*t, k+1, P, N]  (keyset indexed by (gen-1)/2)
+    ak_vs: jax.Array
+    inv2n: jax.Array  # [N] int32
+    n: int = flax.struct.field(pytree_node=False)
+    k: int = flax.struct.field(pytree_node=False)
+    N: int = flax.struct.field(pytree_node=False)
+    l: int = flax.struct.field(pytree_node=False)
+    Bg_bit: int = flax.struct.field(pytree_node=False)
+    ks_t: int = flax.struct.field(pytree_node=False)
+    ks_base_bit: int = flax.struct.field(pytree_node=False)
+    primes: tuple = flax.struct.field(pytree_node=False)
+    ks_primes: tuple = flax.struct.field(pytree_node=False)
+
+    def plan(self):
+        return _ntt.get_plan(self.N, self.primes)
+
+    def ks_plan(self):
+        return _ntt.get_plan(self.N, self.ks_primes)
+
+
+def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey) -> GABootstrapKey:
+    """BK gen: TRGSW(X^{s_i}) + automorphism keyset for every odd generator,
+    with the TRGSW decomposition params reused for the keyset
+    (`bootstrap_ga.c:5-24` passes l/Bg_bit as t/base_bit)."""
+    from . import bootstrap as _bs
+    tk = out_key.trlwe_key
+    l, Bg_bit, k, N = out_key.l, out_key.Bg_bit, tk.k, tk.N
+    n = in_key.n
+    plan = out_key.plan()
+    k1, k2 = jax.random.split(rkey)
+    g = _bs._batched_monomial_encrypt(
+        jnp.ones((n,), jnp.int64), in_key.s, out_key, k1)
+    gd = _trgsw.to_dft(g, plan, with_shoup=True)
+
+    # all-odd automorphism keyset, stacked by (gen-1)//2
+    t, base_bit = l, Bg_bit
+    ks_plan = _ks._ks_plan(N, base_bit, t, tk.k * t)
+    ak_v, ak_vs = [], []
+    for gen in range(1, 2 * N, 2):
+        from . import polynomial as _poly
+        s_perm = _poly.permute(tk.s.astype(TORUS_DTYPE), gen).astype(jnp.int64)
+        key2 = _trlwe.TRLWEKey(s=s_perm, sigma=tk.sigma, s_bound=tk.s_bound)
+        ksk = _ks.new_trlwe_ks_key(
+            jax.random.fold_in(k2, gen), tk, key2, t, base_bit)
+        ak_v.append(ksk.v.reshape((-1,) + ksk.v.shape[2:]))
+        ak_vs.append(ksk.vs.reshape((-1,) + ksk.vs.shape[2:]))
+    return GABootstrapKey(
+        s_v=gd.v, s_vs=gd.vs,
+        ak_v=jnp.stack(ak_v), ak_vs=jnp.stack(ak_vs),
+        inv2n=jnp.asarray(inverse_mod_2n_table(N)),
+        n=n, k=k, N=N, l=l, Bg_bit=Bg_bit, ks_t=t, ks_base_bit=base_bit,
+        primes=plan.primes, ks_primes=ks_plan.primes)
+
+
+def _permute_dyn(x, gen, inv2n, N: int):
+    """Galois permute with a traced odd generator; x: [..., C, N],
+    gen: [...] int32."""
+    ginv = jnp.take(inv2n, (gen - 1) >> 1, axis=0)        # [...]
+    j = jnp.arange(N, dtype=jnp.int32)
+    ic = (j * ginv[..., None, None]) & (2 * N - 1)        # [..., 1, N]
+    neg = (ic & N) != 0
+    idx = ic & (N - 1)
+    shape = jnp.broadcast_shapes(x.shape, idx.shape)
+    g = jnp.take_along_axis(jnp.broadcast_to(x, shape),
+                            jnp.broadcast_to(idx, shape), axis=-1)
+    return jnp.where(jnp.broadcast_to(neg, shape), jnp.uint64(0) - g, g)
+
+
+def _eval_auto_dyn(acc_st, gen, bk: GABootstrapKey):
+    """Permute by a traced generator + keyswitch with the gathered keyset
+    entry (`trlwe_eval_automorphism` with dynamic key)."""
+    N, k = bk.N, bk.k
+    plan = bk.ks_plan()
+    perm = _permute_dyn(acc_st, gen, bk.inv2n, N)
+    kidx = (gen - 1) >> 1
+    kv = jnp.take(bk.ak_v, kidx, axis=0)      # [..., k*t, k+1, P, N]
+    kvs = jnp.take(bk.ak_vs, kidx, axis=0)
+    a = perm[..., :k, :]
+    b = perm[..., k, :]
+    digits = _ks._decompose_digits(a, bk.ks_base_bit, bk.ks_t)
+    spec = _ntt.to_ntt_small(digits, plan)
+    acc = _ntt.pointwise_mul_acc_key(
+        spec[..., :, None, :, :], kv, kvs, plan, axis=-4)
+    as_ = _ntt.from_ntt_u64(acc, plan)        # [..., k+1, N]
+    out = jnp.zeros_like(perm).at[..., k, :].set(b)
+    return out - as_
+
+
+def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey) -> TRLWE:
+    """(`blind_rotate_ga`, `bootstrap_ga.c:39-60`), batched.
+
+    acc = psi_{w_0}(tv);  per step: acc = psi_{a_i * w_{i+1}}(BK_i (x) acc);
+    final: tv = psi_{a_{n-1}}(BK_{n-1} (x) acc).
+    """
+    plan = bk.plan()
+    N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
+    log_N2 = int(math.log2(2 * N))
+    mod_mask = 2 * N - 1
+    a_int = (torus2int(jnp.asarray(a, TORUS_DTYPE), log_N2)
+             .astype(jnp.int32) | 1)                       # [..., n] odd
+    w = jnp.take(bk.inv2n, (a_int - 1) >> 1, axis=0)       # inverses
+
+    acc = _eval_auto_dyn(tv.stacked(), w[..., 0], bk)
+
+    def ext_prod(acc_st, gv, gvs):
+        digits = gadget_decompose(acc_st, Bg_bit, l)
+        digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
+        spec = _ntt.to_ntt_small(digits, plan)
+        r = _ntt.pointwise_mul_acc_key(
+            spec[..., :, None, :, :], gv, gvs, plan, axis=-4)
+        return _ntt.from_ntt_u64(r, plan)
+
+    gens = (a_int[..., :-1] * w[..., 1:]) & mod_mask       # [..., n-1]
+    gens_scan = jnp.moveaxis(gens, -1, 0)
+
+    def step(acc_st, xs):
+        gv, gvs, gen = xs
+        t = ext_prod(acc_st, gv, gvs)
+        return _eval_auto_dyn(t, gen, bk), None
+
+    acc, _ = jax.lax.scan(
+        step, acc, (bk.s_v[:-1], bk.s_vs[:-1], gens_scan))
+    t = ext_prod(acc, bk.s_v[-1], bk.s_vs[-1])
+    out = _eval_auto_dyn(t, a_int[..., -1], bk)
+    return from_stacked(out)
+
+
+def functional_bootstrap_ga(tv: TRLWE, c: TLWE, bk: GABootstrapKey,
+                            torus_base: int) -> TLWE:
+    """(`functional_bootstrap_ga`, `bootstrap_ga.c:62-76`)."""
+    N = bk.N
+    log_N2 = int(math.log2(2 * N))
+    b_int = torus2int(c.b + _prec_offset(torus_base), log_N2).astype(jnp.int32)
+    acc = _trlwe.mul_by_xai(tv, 2 * N - b_int)
+    rot = blind_rotate_ga(acc, c.a, bk)
+    return _trlwe.extract_tlwe(rot, 0)

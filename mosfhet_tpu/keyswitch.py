@@ -330,8 +330,6 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
     dig = ((a_vals + prec_offset)[..., None] >> shifts) & mask  # [..., R, t]
 
     flat_tab = table.reshape(R * t * base_m1, table.shape[-2], table.shape[-1])
-    pos = (jnp.arange(R)[:, None] * t + jnp.arange(t)[None, :]) * base_m1
-
     chunk = min(R, 64)
     n_chunks = -(-R // chunk)
     padR = n_chunks * chunk - R
@@ -341,24 +339,23 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
         flat_tab = jnp.concatenate(
             [flat_tab, jnp.zeros((padR * t * base_m1,) + flat_tab.shape[1:],
                                  TORUS_DTYPE)], axis=0)
-        pos = (jnp.arange(R + padR)[:, None] * t
-               + jnp.arange(t)[None, :]) * base_m1
     dig_s = jnp.moveaxis(
         dig.reshape(dig.shape[:-2] + (n_chunks, chunk, t)), -3, 0)
     tab_s = flat_tab.reshape((n_chunks, chunk * t * base_m1)
                              + flat_tab.shape[1:])
-    pos_s = pos.reshape(n_chunks, chunk, t)
+    # chunk-local flat position of entry (row, digit, 0)
+    pos = (jnp.arange(chunk)[:, None] * t + jnp.arange(t)[None, :]) * base_m1
 
     def body(acc, xs):
-        d, tb, ps = xs
+        d, tb = xs
         nz = d != 0
-        flat = ps + jnp.maximum(d.astype(jnp.int32) - 1, 0)
+        flat = pos + jnp.maximum(d.astype(jnp.int32) - 1, 0)
         g = jnp.take(tb, flat, axis=0)                 # [..., chunk, t, k+1, N]
         g = jnp.where(nz[..., None, None], g, jnp.uint64(0))
         return acc + jnp.sum(g, axis=(-4, -3), dtype=TORUS_DTYPE), None
 
     init = jnp.zeros(a_vals.shape[:-1] + table.shape[-2:], TORUS_DTYPE)
-    acc, _ = jax.lax.scan(body, init, (dig_s, tab_s, pos_s))
+    acc, _ = jax.lax.scan(body, init, (dig_s, tab_s))
     return acc
 
 

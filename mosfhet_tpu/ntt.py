@@ -36,6 +36,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -108,6 +109,13 @@ class NTTPlan:
     """Precomputed tables for negacyclic NTTs of length N over a prime set."""
 
     def __init__(self, N: int, primes=DEFAULT_PRIMES):
+        # Plans are cached; they may be first requested inside a jit trace,
+        # so force concrete (compile-time) array creation or the cache would
+        # capture tracers.
+        with jax.ensure_compile_time_eval():
+            self._build(N, primes)
+
+    def _build(self, N: int, primes):
         assert N & (N - 1) == 0
         self.N = N
         self.logN = int(math.log2(N))

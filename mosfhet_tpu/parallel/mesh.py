@@ -1,0 +1,124 @@
+"""Multi-chip scale-out for batched programmable bootstrapping.
+
+The reference is a single-threaded CPU library (SURVEY.md §2.2: no
+MPI/NCCL/pthreads anywhere); its only parallelism is SIMD.  The TPU-native
+equivalents here are first-class:
+
+- **batch axis ("data")**: independent bootstraps are embarrassingly
+  parallel — shard the ciphertext batch, replicate the bootstrap key.
+  Zero communication during blind rotation.
+- **gadget axis ("model")**: the external product accumulates over the
+  J=(k+1)*l decomposition rows; shard the bootstrap key's J axis and
+  `psum` the NTT-domain accumulator each CMUX step (tensor-parallel
+  analog).  Trades ICI bandwidth for HBM footprint of the key — relevant
+  when the key (hundreds of MB to GB in NTT form) is sharded rather than
+  replicated.
+
+Built on `jax.sharding.Mesh` + `shard_map`; collectives are XLA's.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .. import ntt as _ntt
+from .. import polynomial as _poly
+from .. import trlwe as _trlwe
+from ..bootstrap import BootstrapKey, _prec_offset
+from ..tlwe import TLWE
+from ..trlwe import TRLWE, from_stacked
+from ..torus import TORUS_DTYPE, torus2int, gadget_decompose
+
+
+def make_mesh(devices=None, data: int = None, model: int = 1,
+              names=("data", "model")) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n
+    import numpy as np
+    return Mesh(np.array(devices).reshape(data, model), names)
+
+
+def _blind_rotate_tp(acc_st, a_int, bk_v, bk_vs, plan, l, Bg_bit, k, N,
+                     model_axis: str | None):
+    """Blind rotate where bk_v/bk_vs may be sharded on the J (row) axis;
+    partial external products are psum'd over `model_axis`."""
+
+    def step(carry, xs):
+        v, vs, ai = xs
+        rot = _poly.mul_by_xai(carry, ai[..., None]) - carry
+        digits = gadget_decompose(rot, Bg_bit, l)
+        digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
+        if model_axis is not None:
+            # each shard holds J/m rows of the key: slice matching digits
+            m = jax.lax.axis_size(model_axis)
+            idx = jax.lax.axis_index(model_axis)
+            jm = (k + 1) * l // m
+            digits = jax.lax.dynamic_slice_in_dim(digits, idx * jm, jm, -2)
+        spec = _ntt.to_ntt_small(digits, plan)
+        part = _ntt.pointwise_mul_acc_key(
+            spec[..., :, None, :, :], v, vs, plan, axis=-4)
+        if model_axis is not None:
+            part = jax.lax.psum(part, model_axis)
+            part = _ntt.barrett_small(part, plan.p[:, None], plan.mu[:, None])
+        return carry + _ntt.from_ntt_u64(part, plan), None
+
+    out, _ = jax.lax.scan(step, acc_st, (bk_v, bk_vs, a_int))
+    return out
+
+
+def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
+                data_axis: str = "data", model_axis: str | None = "model"):
+    """Returns a jitted, mesh-sharded batched functional bootstrap:
+    fn(tv: TRLWE[B, ...], c: TLWE[B, ...]) -> TLWE[B, k*N].
+
+    Ciphertext batch is sharded over `data_axis`; the bootstrap key's J axis
+    is sharded over `model_axis` (pass None to replicate the key)."""
+    assert bk.unfolding == 1
+    plan = bk.plan()
+    N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
+    log_N2 = int(math.log2(2 * N))
+    J = (k + 1) * l
+    m_size = mesh.shape[model_axis] if model_axis else 1
+    assert J % m_size == 0
+
+    bk_spec = P(None, model_axis, None, None, None) if model_axis else \
+        P(None, None, None, None, None)
+    in_specs = (
+        P(data_axis), P(data_axis),        # tv stacked, b rounding input
+        P(data_axis),                      # a
+        bk_spec, bk_spec,
+    )
+    out_specs = P(data_axis)
+
+    def inner(tv_st, b, a, bk_v, bk_vs):
+        b_int = torus2int(b + _prec_offset(torus_base), log_N2).astype(jnp.int32)
+        acc = _poly.mul_by_xai(tv_st, (2 * N - b_int)[..., None])
+        a_int = torus2int(a, log_N2).astype(jnp.int32)
+        a_scan = jnp.moveaxis(a_int, -1, 0)
+        acc = _blind_rotate_tp(acc, a_scan, bk_v, bk_vs, plan, l, Bg_bit,
+                               k, N, model_axis if m_size > 1 else None)
+        return acc
+
+    sharded = shard_map(inner, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs)
+
+    # key arrays are jit arguments (closing over them would embed GiB-scale
+    # constants in the compile payload)
+    @jax.jit
+    def _run(tv_st, cb, ca, bkv, bkvs):
+        acc_st = sharded(tv_st, cb, ca, bkv, bkvs)
+        return _trlwe.extract_tlwe(from_stacked(acc_st), 0)
+
+    def run(tv: TRLWE, c: TLWE) -> TLWE:
+        return _run(tv.stacked(), c.b, c.a, bk.v, bk.vs)
+
+    return run

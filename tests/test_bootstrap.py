@@ -77,10 +77,11 @@ def test_programmable_bootstrap():
     key_tlwe, key_trlwe, key_out, _, bk = setup_keys(7)
     luts = rng.uniform_torus(jax.random.fold_in(KEY, 53), (4,))
     tv = lut_trlwe(luts)
+    # 2/64 << kappa=3 -> 1/4 -> slot 2 of 4 (same shape as `tests.c:1563-1565`)
     c = tlwe.encrypt(torus.int2torus(jnp.uint64(0x2), 6), key_tlwe,
                      jax.random.fold_in(KEY, 80))
     out = bootstrap.programmable_bootstrap(tv, c, bk, 3, 3, 0)
-    assert_torus_within(1 << 58, luts[1], tlwe.phase(out, key_out), "pbs")
+    assert_torus_within(1 << 58, luts[2], tlwe.phase(out, key_out), "pbs")
 
 
 def test_multivalue_CLOT21():
@@ -110,8 +111,9 @@ def test_multivalue_phase1_phase2():
     rotated = bootstrap.multivalue_bootstrap_phase1(c, bk, tb)
     lut = [1, 0, 3, 2]
     out = bootstrap.multivalue_bootstrap_phase2(lut, rotated, tb, log_tb)
-    got = torus.torus2int(tlwe.phase(out, key_out), log_tb)
-    assert int(got) % tb == lut[m], f"phase2: got {int(got)} want {lut[m]}"
+    # output scale: lut[m]/(2*tb) on the torus (`tests.c:1819`)
+    want = torus.double2torus(lut[m] / (2 * tb))
+    assert_torus_within(1 << 58, want, tlwe.phase(out, key_out), "phase2")
 
 
 def test_multivalue_UBR():

@@ -1,0 +1,126 @@
+"""Key-switching family tests (`src/keyswitch.c`), TOY params."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mosfhet_tpu import params, tlwe, trlwe, keyswitch as ks, rng, torus, polynomial
+
+P = params.TOY
+KEY = jax.random.PRNGKey(777)
+
+
+def assert_torus_within(delta, want, got, msg=""):
+    diff = np.abs(np.asarray(
+        jnp.asarray(got, jnp.uint64) - jnp.asarray(want, jnp.uint64)
+    ).view(np.int64).astype(np.float64))
+    assert np.all(diff <= delta), f"{msg}: max err 2^{np.log2(diff.max()+1):.1f}"
+
+
+def setup(seed):
+    ksd = jax.random.fold_in(KEY, seed)
+    k = jax.random.split(ksd, 6)
+    sk = trlwe.new_binary_key(k[0], P.N, P.k, P.rlwe_sigma)
+    sk2 = trlwe.new_binary_key(k[1], P.N, P.k, P.rlwe_sigma)
+    return sk, sk2, k
+
+
+def test_trlwe_keyswitch():
+    sk, sk2, k = setup(0)
+    ksk = ks.new_trlwe_ks_key(k[2], sk, sk2, P.t, P.base_bit)
+    m = rng.uniform_torus(k[3], (P.N,))
+    c = trlwe.encrypt(m, sk2, k[4])
+    out = ks.trlwe_keyswitch(c, ksk)
+    assert_torus_within(1 << 48, m, trlwe.phase(out, sk), "trlwe ks")
+
+
+def test_eval_automorphism():
+    """EvalAuto: phase(out) == permute(phase(in)) (`trlwe.c:775-781`)."""
+    sk, _, k = setup(1)
+    gen = 5
+    aks = ks.new_automorphism_ks_keyset(k[2], sk, [gen], P.t, P.base_bit)
+    m = rng.uniform_torus(k[3], (P.N,))
+    c = trlwe.encrypt(m, sk, k[4])
+    out = ks.eval_automorphism(c, gen, aks[gen])
+    assert_torus_within(1 << 48, polynomial.permute(m, gen),
+                        trlwe.phase(out, sk), "eval auto")
+
+
+def test_packing1_keyswitch():
+    """TLWE(m) -> TRLWE(m * X^0) (`keyswitch.c:368-390,458-475`)."""
+    sk, _, k = setup(2)
+    tk = trlwe.extract_tlwe_key(sk)
+    ksk = ks.new_packing1_ks_key(k[2], sk, tk, P.t, P.base_bit)
+    m = rng.uniform_torus(k[3], ())
+    c = tlwe.encrypt(m, tk, k[4])
+    out = ks.packing1_keyswitch(c, ksk)
+    ph = trlwe.phase(out, sk)
+    assert_torus_within(1 << 48, m, ph[..., 0], "packing1 coeff 0")
+
+
+def test_priv_sk_keyswitch():
+    """TLWE(m) -> TRLWE(m * -s) (`keyswitch.c:611-656`)."""
+    sk, _, k = setup(3)
+    tk = trlwe.extract_tlwe_key(sk)
+    ksk = ks.new_priv_sk_ks_key(k[2], sk, tk, P.t, P.base_bit)
+    m = torus.int2torus(jnp.uint64(1), 2)  # 1/4
+    c = tlwe.encrypt(m, tk, k[4])
+    out = ks.priv_keyswitch(c, ksk)
+    # phase should be ~ m * (-s): check against the cleartext product
+    want = (jnp.uint64(0) - sk.s[0].astype(jnp.uint64)) * m
+    assert_torus_within(1 << 50, want, trlwe.phase(out, sk), "priv sk ks")
+
+
+def test_full_packing_keyswitch():
+    """n TLWEs -> slots of one TRLWE (`keyswitch.c:99-107,195-227`)."""
+    sk, _, k = setup(4)
+    tk = trlwe.extract_tlwe_key(sk)
+    ksk = ks.new_full_packing_ks_key(k[2], sk, tk, P.t, P.base_bit)
+    size = 4
+    ms = rng.uniform_torus(k[3], (size,))
+    cs = tlwe.encrypt(ms, tk, k[4])
+    out = ks.full_packing_keyswitch(cs, size, ksk)
+    ph = trlwe.phase(out, sk)
+    assert_torus_within(1 << 50, ms, ph[..., :size], "full packing")
+
+
+def test_lut_packing_keyswitch():
+    """torus_base TLWEs -> replicated LUT slots (`keyswitch.c:244-270,
+    343-364`)."""
+    sk, _, k = setup(5)
+    tk = trlwe.extract_tlwe_key(sk)
+    tb = 4
+    ksk = ks.new_lut_packing_ks_key(k[2], sk, tk, P.t, P.base_bit, tb)
+    ms = rng.uniform_torus(k[3], (tb,))
+    cs = tlwe.encrypt(ms, tk, k[4])
+    out = ks.lut_packing_keyswitch(cs, ksk)
+    ph = trlwe.phase(out, sk)
+    slot = P.N // tb
+    want = jnp.repeat(ms, slot)
+    assert_torus_within(1 << 50, want, ph, "lut packing")
+
+
+def test_cdks21_packing():
+    """Trace-based packing TLWE -> TRLWE(m*X^0) (`keyswitch.c:477-546`)."""
+    sk, _, k = setup(6)
+    tk = trlwe.extract_tlwe_key(sk)
+    keys = ks.new_cdks21_packing_keys(k[2], sk, tk, P.t, P.base_bit)
+    m = rng.uniform_torus(k[3], ())
+    c = tlwe.encrypt(m, tk, k[4])
+    out = ks.packing1_keyswitch_cdks21(c, keys)
+    ph = trlwe.phase(out, sk)
+    # trace multiplies the packed coefficient by N
+    want = m * jnp.uint64(P.N)
+    assert_torus_within(1 << 54, want, ph[..., 0], "cdks21")
+
+
+def test_priv_keyswitch_pair():
+    """TRLWE(M) -> TRLWE(m*(-s)) via the KS pair (`keyswitch.c:39-63`)."""
+    sk, _, k = setup(7)
+    m = torus.int2torus(jnp.arange(P.N, dtype=jnp.uint64) % 2, 2)
+    pair = ks.new_priv_ks_key_pair(k[2], sk, sk, P.t, P.base_bit)
+    c = trlwe.encrypt(m, sk, k[4])
+    out = ks.priv_keyswitch_2(c, pair)
+    want_poly = polynomial.ntt_mul_small(
+        -sk.s[0], trlwe.phase(c, sk), sk.plan())
+    assert_torus_within(1 << 52, want_poly, trlwe.phase(out, sk), "priv pair")
