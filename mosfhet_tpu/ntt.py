@@ -40,14 +40,19 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-# Proth primes p = c * 2^e + 1 with 2^23 | p-1 (supports N up to 2^22),
+# Proth primes p = c * 2^e + 1 with 2^21 | p-1 (supports N up to 2^20),
 # ascending (Garner requires p_j < p_m for j < m to skip reductions).
-# All > 2^28 so the Barrett constants below stay in range.
-MASTER_PRIMES = (469762049, 754974721, 998244353, 1811939329, 2013265921)
-DEFAULT_PRIMES = (998244353, 1811939329, 2013265921)
+# All in (2^28, 2^30): > 2^28 keeps the Barrett constants below in range,
+# and < 2^30 keeps lazy values (< 2p) and butterfly sums (< 4p) inside
+# uint32 — the requirement of the fused Pallas TPU kernel
+# (`mosfhet_tpu/ops/pbs_kernel.py`), which does all modular arithmetic in
+# native 32-bit integers.
+MASTER_PRIMES = (943718401, 950009857, 962592769, 975175681,
+                 985661441, 998244353, 1004535809, 1012924417)
+DEFAULT_PRIMES = MASTER_PRIMES[-3:]   # 2^89.7 of CRT range
 # Wider set for exact "128-bit" products (tensor product / relinearization,
-# reference `src/fft/karatsuba.c`): product ≈ 2^149.8 > 2 * N * 2^126.
-TENSOR_PRIMES = MASTER_PRIMES
+# reference `src/fft/karatsuba.c`): product ≈ 2^149.5 > 2 * N * 2^126.
+TENSOR_PRIMES = MASTER_PRIMES[-5:]
 
 
 def primes_for_bound(bound: int):

@@ -1,0 +1,401 @@
+"""Fused Pallas TPU kernel for the blind-rotate CMUX step (external product).
+
+This is the hot kernel of the whole framework: one step of
+`blind_rotate` (`/root/reference/src/bootstrap.c:107-122`) is
+
+    acc += BK_i (x) ((X^{a_i} - 1) * acc)
+
+whose inner external product (`trgsw_mul_trlwe_DFT`,
+`/root/reference/src/trgsw.c:385-423`) is, in this framework's exact
+CRT-NTT formulation (see `mosfhet_tpu/ntt.py`):
+
+    digits   = gadget-decompose(rot)            [(k+1)l, N]   signed
+    spectrum = forward NTT(digits mod p_m)      per prime m
+    acc_spec = sum_j spectrum_j * KEY_j         lazy Shoup products
+    delta    = CRT(inverse NTT(acc_spec))       exact mod 2^64
+
+The pure-jnp path does all of this in emulated uint64 (XLA lowers u64
+multiplies to long chains of 32-bit ops); this kernel does it in *native*
+uint32 on the VPU, which is the whole speedup:
+
+- every NTT prime p is in (2^28, 2^30) (`ntt.MASTER_PRIMES`), so lazy
+  values (< 2p) and butterfly sums (< 4p) fit uint32;
+- Shoup modular multiplication needs one mulhi32, built from four 16x16
+  partial products (exact in native 32-bit multiplies);
+- the 64-bit CRT readback (Garner) is done in explicit 32-bit limbs.
+
+Data layout: **sublanes = batch tile (BT rows), lanes = N coefficients**.
+Butterfly partners are lane-rolls (`pltpu.roll` along axis 1); twiddle
+factors vary along lanes only, so each stage's twiddles are one [1, N] row
+broadcast over sublanes — no transposes, reshapes, or gathers anywhere, and
+the same code handles every stage of every size.  The cost is one Shoup
+multiply per *element* per stage instead of per butterfly pair (2x the
+minimal multiplication count) — a good trade for zero data movement.
+
+The kernel computes the full CMUX delta for a [BT]-batch tile per grid
+program; the scan over the n LWE mask digits and the per-sample negacyclic
+rotation X^{a_i} stay in XLA (see `bootstrap.blind_rotate`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import ntt as _ntt
+from ..torus import gadget_offset
+
+_U32 = jnp.uint32
+DEFAULT_BT = 32
+
+
+# ---------------------------------------------------------------------------
+# u32 modular primitives (kernel-internal)
+# ---------------------------------------------------------------------------
+
+def _mulhi32(a, b):
+    """High 32 bits of a * b for uint32 arrays, via 16-bit partial products
+    (each partial fits uint32 exactly)."""
+    mask = _U32(0xFFFF)
+    a0 = a & mask
+    a1 = a >> _U32(16)
+    b0 = b & mask
+    b1 = b >> _U32(16)
+    m00 = a0 * b0
+    m01 = a0 * b1
+    m10 = a1 * b0
+    m11 = a1 * b1
+    mid = m01 + (m00 >> _U32(16))          # <= 2^32 - 2^17 + 2^16: no overflow
+    mid2 = mid + m10                        # may wrap
+    carry = (mid2 < mid).astype(_U32)
+    return m11 + (mid2 >> _U32(16)) + (carry << _U32(16))
+
+
+def _shoup_lazy(a, w, ws, p: int):
+    """a * w mod p in [0, 2p), Harvey-style: valid for any a < 2^32, w < p,
+    ws = floor(w * 2^32 / p).  3 low multiplies + 1 mulhi."""
+    q = _mulhi32(a, ws)
+    return a * w - q * _U32(p)
+
+
+def _cond_sub(x, c: int):
+    cc = _U32(c)
+    return jnp.where(x >= cc, x - cc, x)
+
+
+def _exact(x, p: int):
+    """[0, 2p) -> [0, p)."""
+    return _cond_sub(x, p)
+
+
+# ---------------------------------------------------------------------------
+# NTT stages (lane-roll butterflies)
+# ---------------------------------------------------------------------------
+
+def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int):
+    """Forward negacyclic NTT over the lane axis.
+
+    x: [BT, N] u32 in [0, 2p) (lazy ok).  ftw/ftws: [S, N] twiddle rows
+    (stage-major; see `_build_tables`).  Output lazy in [0, 2p),
+    bit-reversed order (matches `ntt.forward_ntt`).
+    """
+    S = N.bit_length() - 1
+    for s in range(S):
+        t = N >> (s + 1)
+        tw = jnp.broadcast_to(ftw[s:s + 1, :], x.shape)
+        tws = jnp.broadcast_to(ftws[s:s + 1, :], x.shape)
+        mask_u = (liota & _U32(2 * t - 1)) < _U32(t)
+        fwd = pltpu.roll(x, jnp.int32(N - t), 1)  # at U rows: V partner (i+t)
+        bwd = pltpu.roll(x, jnp.int32(t), 1)      # at V rows: U partner (i-t)
+        v = jnp.where(mask_u, fwd, x)
+        u = jnp.where(mask_u, x, bwd)
+        vw = _shoup_lazy(v, tw, tws, p)     # < 2p
+        add = _cond_sub(u + vw, 2 * p)
+        sub = _cond_sub(u + _U32(2 * p) - vw, 2 * p)
+        x = jnp.where(mask_u, add, sub)
+    return x
+
+
+def _inv_ntt(x, itw, itws, liota, p: int, N: int):
+    """Inverse NTT (consumes bit-reversed), including 1/N scaling.
+
+    x: [BT, N] u32 in [0, 2p).  itw/itws: [S+1, N]; row S is the n_inv
+    scaling row.  Output exact in [0, p).
+    """
+    S = N.bit_length() - 1
+    for s in range(S):
+        t = 1 << s
+        tw = jnp.broadcast_to(itw[s:s + 1, :], x.shape)
+        tws = jnp.broadcast_to(itws[s:s + 1, :], x.shape)
+        mask_u = (liota & _U32(2 * t - 1)) < _U32(t)
+        fwd = pltpu.roll(x, jnp.int32(N - t), 1)  # fetch lane i+t
+        bwd = pltpu.roll(x, jnp.int32(t), 1)      # fetch lane i-t
+        partner = jnp.where(mask_u, fwd, bwd)
+        add = _cond_sub(x + partner, 2 * p)              # U + V
+        diff = jnp.where(mask_u, x + _U32(2 * p) - partner,
+                         partner + _U32(2 * p) - x)      # U - V + 2p < 2^32
+        w = _shoup_lazy(diff, tw, tws, p)                # < 2p
+        x = jnp.where(mask_u, add, w)
+    ninv = jnp.broadcast_to(itw[S:S + 1, :], x.shape)
+    ninvs = jnp.broadcast_to(itws[S:S + 1, :], x.shape)
+    return _exact(_shoup_lazy(x, ninv, ninvs, p), p)
+
+
+# ---------------------------------------------------------------------------
+# Kernel plan: precomputed tables + static config
+# ---------------------------------------------------------------------------
+
+class PBSKernelPlan:
+    """Tables and constants for one (N, primes, l, Bg_bit, k) configuration."""
+
+    def __init__(self, N: int, primes: tuple, l: int, Bg_bit: int, k: int,
+                 bt: int = DEFAULT_BT):
+        assert all((1 << 28) < p < (1 << 30) for p in primes), \
+            "pallas kernel needs primes in (2^28, 2^30)"
+        self.N, self.primes, self.l, self.Bg_bit, self.k, self.bt = \
+            N, tuple(primes), l, Bg_bit, k, bt
+        self.P = len(primes)
+        self.C = k + 1
+        self.J = (k + 1) * l
+        plan = _ntt.get_plan(N, self.primes)
+        S = N.bit_length() - 1
+        logN = S
+
+        psi = np.asarray(plan.psi_rev, dtype=np.uint64)      # [P, N]
+        psis = np.asarray(plan.psi_rev_shoup, dtype=np.uint64)
+        ipsi = np.asarray(plan.ipsi_rev, dtype=np.uint64)
+        ipsis = np.asarray(plan.ipsi_rev_shoup, dtype=np.uint64)
+        ninv = np.asarray(plan.n_inv, dtype=np.uint64)
+        ninvs = np.asarray(plan.n_inv_shoup, dtype=np.uint64)
+
+        n_idx = np.arange(N)
+        ftw = np.zeros((self.P, S, N), np.uint32)
+        ftws = np.zeros((self.P, S, N), np.uint32)
+        itw = np.zeros((self.P, S + 1, N), np.uint32)
+        itws = np.zeros((self.P, S + 1, N), np.uint32)
+        for m in range(self.P):
+            for s in range(S):
+                blk = (1 << s) + (n_idx >> (logN - s))
+                ftw[m, s] = psi[m][blk]
+                ftws[m, s] = psis[m][blk]
+                iblk = (N >> (s + 1)) + (n_idx >> (s + 1))
+                itw[m, s] = ipsi[m][iblk]
+                itws[m, s] = ipsis[m][iblk]
+            itw[m, S] = ninv[m]
+            itws[m, S] = ninvs[m]
+        self.ftw = jnp.asarray(ftw)
+        self.ftws = jnp.asarray(ftws)
+        self.itw = jnp.asarray(itw)
+        self.itws = jnp.asarray(itws)
+
+        # Garner mixed-radix constants as python ints (baked into the kernel).
+        self.garner_w = []       # [m][j] -> (prefix_j mod p_m, shoup)
+        self.garner_cinv = []    # [m] -> (inv(prefix_m) mod p_m, shoup)
+        for m in range(self.P):
+            p = self.primes[m]
+            row, prefix = [], 1
+            for j in range(m):
+                w = prefix % p
+                row.append((w, (w << 32) // p))
+                prefix *= self.primes[j]
+            self.garner_w.append(row)
+            if m > 0:
+                c = pow(prefix % p, p - 2, p)
+                self.garner_cinv.append((c, (c << 32) // p))
+            else:
+                self.garner_cinv.append(None)
+
+        off = gadget_offset(Bg_bit, l, rounded=True)
+        self.off_lo = off & 0xFFFFFFFF
+        self.off_hi = off >> 32
+
+
+@functools.lru_cache(maxsize=None)
+def get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
+                    bt: int = DEFAULT_BT) -> PBSKernelPlan:
+    return PBSKernelPlan(N, primes, l, Bg_bit, k, bt)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _decompose_digit(lo, hi, i: int, Bg_bit: int):
+    """Digit i of the 64-bit value (lo, hi) after the offset add: signed in
+    [-Bg/2, Bg/2) as int32 (`polynomial_decompose_i`,
+    `/root/reference/src/polynomial.c:74-89`)."""
+    shift = 64 - (i + 1) * Bg_bit
+    mask = _U32((1 << Bg_bit) - 1)
+    half = 1 << (Bg_bit - 1)
+    if shift >= 32:
+        v = hi >> _U32(shift - 32)
+    elif shift + Bg_bit <= 32:
+        v = lo >> _U32(shift)
+    else:
+        v = (lo >> _U32(shift)) | (hi << _U32(32 - shift))
+    return (v & mask).astype(jnp.int32) - jnp.int32(half)
+
+
+def _garner_limbs(ts, kp: PBSKernelPlan):
+    """Exact residues ts[m] in [0, p_m) -> value mod 2^64 as (lo, hi) u32.
+
+    Mixed-radix reconstruction with centered top digit, mirroring
+    `ntt.garner_u64` in 32-bit limbs."""
+    P = kp.P
+    primes = kp.primes
+    digs = [ts[0]]
+    for m in range(1, P):
+        p = primes[m]
+        acc = digs[0]                                 # < p (exact)
+        for j in range(1, m):
+            w, ws = kp.garner_w[m][j]
+            term = _shoup_lazy(digs[j], _U32(w), _U32(ws), p)   # < 2p
+            acc = _cond_sub(acc + term, 2 * p)
+        acc = _exact(acc, p)
+        diff = _exact(ts[m] + _U32(p) - acc, p)
+        c, cs = kp.garner_cinv[m]
+        digs.append(_exact(_shoup_lazy(diff, _U32(c), _U32(cs), p), p))
+    top = digs[-1]
+    p_top = primes[P - 1]
+    negm = top > _U32(p_top // 2)
+    lo = jnp.where(negm, top - _U32(p_top), top)      # two's complement
+    hi = jnp.where(negm, _U32(0xFFFFFFFF), _U32(0))
+    for m in range(P - 2, -1, -1):
+        p = _U32(primes[m])
+        new_lo = lo * p
+        c1 = _mulhi32(lo, jnp.broadcast_to(p, lo.shape))
+        new_hi = hi * p + c1
+        lo2 = new_lo + digs[m]
+        carry = (lo2 < new_lo).astype(_U32)
+        lo, hi = lo2, new_hi + carry
+    return lo, hi
+
+
+def _make_kernel(kp: PBSKernelPlan):
+    N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
+    bt = kp.bt
+
+    def kernel(rot_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
+               itw_ref, itws_ref, out_ref, dig_ref, spec_ref):
+        # rot_ref:  [1, 2, C, BT, N] u32  (limb, component, batch, coeff)
+        # keyv/s:   [J, C, P, N] u32      (resident across grid)
+        # ftw/s:    [P, S, N];  itw/s: [P, S+1, N]
+        # out_ref:  [1, 2, C, BT, N] u32
+        # dig_ref:  [J, BT, N] i32 scratch; spec_ref: [C, P, BT, N] u32 scratch
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+
+        # -- gadget decomposition of every component ----------------------
+        for c in range(C):
+            lo = rot_ref[0, 0, c] + _U32(kp.off_lo)
+            carry = (lo < _U32(kp.off_lo)).astype(_U32)
+            hi = rot_ref[0, 1, c] + _U32(kp.off_hi) + carry
+            for i in range(l):
+                dig_ref[c * l + i] = _decompose_digit(lo, hi, i, Bg_bit)
+
+        for c in range(C):
+            for p in range(P):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+
+        # -- forward NTT per digit row, multiply-accumulate against key ---
+        def body(j, carry):
+            d = dig_ref[j]                               # [BT, N] i32
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                for c in range(C):
+                    kv = jnp.broadcast_to(
+                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    ks = jnp.broadcast_to(
+                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    prod = _shoup_lazy(s_, kv, ks, p)    # < 2p
+                    spec_ref[c, p_i] = _cond_sub(
+                        spec_ref[c, p_i] + prod, 2 * p)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+
+        # -- inverse NTTs + CRT readback ----------------------------------
+        for c in range(C):
+            ts = []
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
+                                   itws_ref[p_i], liota, p, N))
+            lo, hi = _garner_limbs(ts, kp)
+            out_ref[0, 0, c] = lo
+            out_ref[0, 1, c] = hi
+
+    return kernel
+
+
+def _cmux_delta_tiles(rot_tiles, keyv, keyvs, kp: PBSKernelPlan,
+                      interpret: bool = False):
+    """rot_tiles: [nb, 2, C, BT, N] u32 -> delta tiles (same shape)."""
+    nb = rot_tiles.shape[0]
+    N, P, C, J, bt = kp.N, kp.P, kp.C, kp.J, kp.bt
+    S = N.bit_length() - 1
+    grid = (nb,)
+    kernel = _make_kernel(kp)
+    # NB: index-map constants must be i32 and must not capture tracers —
+    # python `0` literals trace to i64 under jax_enable_x64 (Mosaic rejects
+    # i64 scalars), so derive an i32 zero from the grid index.
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, 2, C, bt, N), _U32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, C, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, C, P, N),
+                         lambda i: (i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, C, P, N),
+                         lambda i: (i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, C, bt, N),
+                               lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((J, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        interpret=interpret,
+    )(rot_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws)
+
+
+def cmux_delta(rot, keyv32, keyvs32, kp: PBSKernelPlan,
+               interpret: bool = False):
+    """The external product BK (x) rot, computed by the fused kernel.
+
+    rot:    [B, C, N] uint64 (B a multiple of the tile size; pad upstream)
+    keyv32/keyvs32: [J, C, P, N] uint32 NTT-form TRGSW key + Shoup companions
+    returns [B, C, N] uint64 — exact, bit-identical to the jnp path
+    (`trgsw.external_product` semantics, reference `trgsw.c:385-423`).
+    """
+    B, C, N = rot.shape
+    bt = kp.bt
+    assert B % bt == 0, f"batch {B} must be a multiple of the tile size {bt}"
+    nb = B // bt
+    lo = (rot & jnp.uint64(0xFFFFFFFF)).astype(_U32)
+    hi = (rot >> jnp.uint64(32)).astype(_U32)
+    x = jnp.stack([lo, hi])                            # [2, B, C, N]
+    x = x.reshape(2, nb, bt, C, N).transpose(1, 0, 3, 2, 4)
+    d = _cmux_delta_tiles(x, keyv32, keyvs32, kp, interpret=interpret)
+    d = d.transpose(1, 0, 3, 2, 4).reshape(2, B, C, N)
+    return d[0].astype(jnp.uint64) | (d[1].astype(jnp.uint64) << jnp.uint64(32))
