@@ -88,6 +88,52 @@ def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey,
                         Bg_bit=Bg_bit, unfolding=unfolding, primes=plan.primes)
 
 
+def _pallas_eligible(bk: "BootstrapKey") -> bool:
+    """The fused Pallas kernel runs on real TPU devices for power-of-two N
+    with all NTT primes in (2^28, 2^30) (see `ops/pbs_kernel.py`)."""
+    import os
+    if os.environ.get("MOSFHET_TPU_FORCE_JNP"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    if plat not in ("tpu", "axon"):
+        return False
+    return (bk.N >= 128 and bk.N & (bk.N - 1) == 0
+            and all((1 << 28) < p < (1 << 30) for p in bk.primes))
+
+
+def _blind_rotate_pallas(tv: TRLWE, a, bk: BootstrapKey) -> TRLWE:
+    """Blind rotate with the fused Pallas CMUX kernel (bit-identical to the
+    jnp path; see `ops/pbs_kernel.py`)."""
+    from .ops import pbs_kernel as _pk
+    N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
+    kp = _pk.get_kernel_plan(N, bk.primes, l, Bg_bit, k)
+    log_N2 = int(math.log2(2 * N))
+    a_arr = jnp.asarray(a, TORUS_DTYPE)
+    batch = a_arr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= d
+    acc0 = jnp.broadcast_to(
+        tv.stacked(), batch + (k + 1, N)).reshape(B, k + 1, N)
+    a_int = torus2int(a_arr.reshape(B, -1), log_N2).astype(jnp.int32)
+    pad = (-B) % kp.bt
+    if pad:
+        acc0 = jnp.concatenate(
+            [acc0, jnp.zeros((pad, k + 1, N), TORUS_DTYPE)], axis=0)
+        a_int = jnp.concatenate(
+            [a_int, jnp.zeros((pad, a_int.shape[1]), jnp.int32)], axis=0)
+    a_scan = jnp.moveaxis(a_int, -1, 0)                  # [n, B]
+    bkv32 = bk.v.astype(jnp.uint32)
+    bkvs32 = bk.vs.astype(jnp.uint32)
+    acc = _pk.blind_rotate_scan(acc0, a_scan, bkv32, bkvs32, kp)
+    if pad:
+        acc = acc[:B]
+    return from_stacked(acc.reshape(batch + (k + 1, N)))
+
+
 def _cmux_step(acc_st, bk_v, bk_vs, ai, plan, l, Bg_bit, k, N):
     """acc += BK_i (x) (X^{a_i} * acc - acc) — one CMUX (`bootstrap.c:113-118`).
     acc_st: [..., k+1, N] u64; ai: [...] int32; bk_*: [(k+1)l, k+1, P, N].
@@ -101,12 +147,18 @@ def _cmux_step(acc_st, bk_v, bk_vs, ai, plan, l, Bg_bit, k, N):
     return acc_st + _ntt.from_ntt_u64(acc_ntt, plan)
 
 
-def blind_rotate(tv: TRLWE, a, bk: BootstrapKey) -> TRLWE:
+def blind_rotate(tv: TRLWE, a, bk: BootstrapKey, impl: str = "auto") -> TRLWE:
     """n-step CMUX chain (`blind_rotate`, `bootstrap.c:107-122`).
 
     tv: TRLWE accumulator (batched); a: [..., n] u64 LWE mask.
+    impl: "auto" picks the fused Pallas TPU kernel on TPU devices and the
+    portable jnp path elsewhere; both are exact and bit-identical.
     """
     assert bk.unfolding == 1
+    if impl == "auto":
+        impl = "pallas" if _pallas_eligible(bk) else "jnp"
+    if impl == "pallas":
+        return _blind_rotate_pallas(tv, a, bk)
     plan = bk.plan()
     N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
     log_N2 = int(math.log2(2 * N))

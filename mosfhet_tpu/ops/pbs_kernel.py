@@ -379,6 +379,200 @@ def _cmux_delta_tiles(rot_tiles, keyv, keyvs, kp: PBSKernelPlan,
     )(rot_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws)
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused blind-rotate step: acc += BK (x) ((X^a - 1) * acc)
+# ---------------------------------------------------------------------------
+
+def _neg_u64(lo, hi):
+    """Two's-complement negation in u32 limbs."""
+    nlo = _U32(0) - lo
+    nhi = (_U32(0) - hi) - (lo != _U32(0)).astype(_U32)
+    return nlo, nhi
+
+
+def _negacyclic_rotate_limbs(lo, hi, a_col, liota, N: int):
+    """Per-row rotation X^{a} of the u64 polynomial rows (lo, hi) [BT, N],
+    a_col: [BT, 1] int32 in [0, 2N] — each batch row rotates by its own
+    exponent (the data-dependent rotation of `blind_rotate`,
+    `/root/reference/src/bootstrap.c:113-118`).
+
+    Decomposed into log2(N) conditional lane-rolls (bit j of a rolls by
+    2^j with negacyclic sign on wrapped lanes) plus a conditional negation
+    for the X^N bit; bit log2(2N) (a == 2N) is the identity.
+    """
+    logN = N.bit_length() - 1
+    for j in range(logN):
+        s = 1 << j
+        bit = ((a_col >> jnp.int32(j)) & jnp.int32(1)) == jnp.int32(1)
+        rlo = pltpu.roll(lo, jnp.int32(s), 1)
+        rhi = pltpu.roll(hi, jnp.int32(s), 1)
+        wrapped = liota < _U32(s)
+        nlo, nhi = _neg_u64(rlo, rhi)
+        cand_lo = jnp.where(wrapped, nlo, rlo)
+        cand_hi = jnp.where(wrapped, nhi, rhi)
+        lo = jnp.where(bit, cand_lo, lo)
+        hi = jnp.where(bit, cand_hi, hi)
+    bit_n = ((a_col >> jnp.int32(logN)) & jnp.int32(1)) == jnp.int32(1)
+    nlo, nhi = _neg_u64(lo, hi)
+    lo = jnp.where(bit_n, nlo, lo)
+    hi = jnp.where(bit_n, nhi, hi)
+    return lo, hi
+
+
+def _make_step_kernel(kp: PBSKernelPlan):
+    N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
+    bt = kp.bt
+
+    def kernel(acc_ref, a_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
+               itw_ref, itws_ref, out_ref, dig_ref, spec_ref):
+        # acc_ref/out_ref: [1, 2, C, BT, N] u32 limbs of the accumulator
+        # a_ref: [1, BT, 1] i32 rotation exponents in [0, 2N]
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        a_col = a_ref[0]                                   # [BT, 1] i32
+
+        acc = []                                           # keep for final add
+        for c in range(C):
+            alo = acc_ref[0, 0, c]
+            ahi = acc_ref[0, 1, c]
+            acc.append((alo, ahi))
+            rlo, rhi = _negacyclic_rotate_limbs(alo, ahi, a_col, liota, N)
+            # rot = X^a * acc - acc  (u64 subtract in limbs)
+            slo = rlo - alo
+            borrow = (rlo < alo).astype(_U32)
+            shi = rhi - ahi - borrow
+            # gadget decomposition of the difference
+            lo = slo + _U32(kp.off_lo)
+            carry = (lo < _U32(kp.off_lo)).astype(_U32)
+            hi = shi + _U32(kp.off_hi) + carry
+            for i in range(l):
+                dig_ref[c * l + i] = _decompose_digit(lo, hi, i, Bg_bit)
+
+        for c in range(C):
+            for p in range(P):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+
+        def body(j, carry):
+            d = dig_ref[j]
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                for c in range(C):
+                    kv = jnp.broadcast_to(
+                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    ks = jnp.broadcast_to(
+                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    prod = _shoup_lazy(s_, kv, ks, p)
+                    spec_ref[c, p_i] = _cond_sub(
+                        spec_ref[c, p_i] + prod, 2 * p)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+
+        for c in range(C):
+            ts = []
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
+                                   itws_ref[p_i], liota, p, N))
+            dlo, dhi = _garner_limbs(ts, kp)
+            alo, ahi = acc[c]
+            olo = alo + dlo
+            carry = (olo < alo).astype(_U32)
+            out_ref[0, 0, c] = olo
+            out_ref[0, 1, c] = ahi + dhi + carry
+
+    return kernel
+
+
+def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
+                    interpret: bool = False):
+    """One fused blind-rotate step on limb tiles.
+
+    acc_tiles: [nb, 2, C, BT, N] u32; a_tiles: [nb, BT, 1] i32."""
+    nb = acc_tiles.shape[0]
+    N, P, C, J, bt = kp.N, kp.P, kp.C, kp.J, kp.bt
+    S = N.bit_length() - 1
+    kernel = _make_step_kernel(kp)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, 2, C, bt, N), _U32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 2, C, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, C, P, N),
+                         lambda i: (i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, C, P, N),
+                         lambda i: (i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, C, bt, N),
+                               lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((J, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc_tiles, a_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws)
+
+
+def split_limbs(x, kp: PBSKernelPlan):
+    """[B, C, N] u64 -> [nb, 2, C, BT, N] u32 limb tiles."""
+    B, C, N = x.shape
+    bt = kp.bt
+    nb = B // bt
+    lo = (x & jnp.uint64(0xFFFFFFFF)).astype(_U32)
+    hi = (x >> jnp.uint64(32)).astype(_U32)
+    t = jnp.stack([lo, hi])                        # [2, B, C, N]
+    return t.reshape(2, nb, bt, C, N).transpose(1, 0, 3, 2, 4)
+
+
+def merge_limbs(t):
+    """[nb, 2, C, BT, N] u32 -> [B, C, N] u64."""
+    nb, _, C, bt, N = t.shape
+    t = t.transpose(1, 0, 3, 2, 4).reshape(2, nb * bt, C, N)
+    return t[0].astype(jnp.uint64) | (t[1].astype(jnp.uint64)
+                                      << jnp.uint64(32))
+
+
+def blind_rotate_scan(acc0, a_int, keyv32, keyvs32, kp: PBSKernelPlan,
+                      interpret: bool = False):
+    """The full n-step CMUX chain with the fused step kernel.
+
+    acc0: [B, C, N] u64 (B a multiple of the tile size)
+    a_int: [n, B] int32 rotation exponents in [0, 2N]
+    keyv32/keyvs32: [n, J, C, P, N] u32 bootstrap key (+ Shoup)
+    Scan state stays in u32 limb tiles — no u64 ops inside the loop.
+    """
+    B = acc0.shape[0]
+    nb = B // kp.bt
+    tiles = split_limbs(acc0, kp)
+    a_tiles = a_int.reshape(a_int.shape[0], nb, kp.bt, 1)
+
+    def step(carry, xs):
+        v32, vs32, ai = xs
+        return _pbs_step_tiles(carry, ai, v32, vs32, kp,
+                               interpret=interpret), None
+
+    out, _ = jax.lax.scan(step, tiles, (keyv32, keyvs32, a_tiles))
+    return merge_limbs(out)
+
+
 def cmux_delta(rot, keyv32, keyvs32, kp: PBSKernelPlan,
                interpret: bool = False):
     """The external product BK (x) rot, computed by the fused kernel.
