@@ -183,6 +183,16 @@ def import_mosfhet_trgsw(f, l: int, Bg_bit: int, k: int, N: int):
     return TRGSW(rows=jnp.stack(rows), l=l, Bg_bit=Bg_bit)
 
 
+def import_mosfhet_compressed_trlwe(f, k: int, N: int, prng="xoroshiro"):
+    """`trlwe_save_compressed_sample`: 16 seed bytes then u64 b[N]
+    (`trlwe_compressed.c:66-69`).  Expand with `seeded.expand_mosfhet`."""
+    from .seeded import MosfhetSeededTRLWE
+    seed = np.frombuffer(f.read(16), dtype=np.uint8).copy()
+    b = _read_u64(f, N)
+    return MosfhetSeededTRLWE(seed=jnp.asarray(seed), b=jnp.asarray(b.copy()),
+                              k=k, prng=prng)
+
+
 def import_mosfhet_tlwe_ks_key(f):
     """`tlwe_save_KS_key`: ints n, t, base_bit, n_out then n*t*(base-1)
     TLWE samples (`tlwe.c:274-287`)."""

@@ -101,12 +101,30 @@ def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int):
     """Forward negacyclic NTT over the lane axis.
 
     x: [BT, N] u32 in [0, 2p) (lazy ok).  ftw/ftws: [S, N] twiddle rows
-    (stage-major; see `_build_tables`).  Output lazy in [0, 2p),
+    (stage-major; see `PBSKernelPlan`).  Output lazy in [0, 2p),
     bit-reversed order (matches `ntt.forward_ntt`).
+
+    Stages with half-block t >= 128 slice U/V halves at lane-tile
+    boundaries (half the Shoup multiplies, no rolls or selects); smaller
+    stages use full-width lane-roll butterflies.
     """
     S = N.bit_length() - 1
     for s in range(S):
         t = N >> (s + 1)
+        if t >= 128:
+            m = 1 << s
+            parts = []
+            for b in range(m):
+                base = b * 2 * t
+                u = x[:, base:base + t]
+                v = x[:, base + t:base + 2 * t]
+                tw = jnp.broadcast_to(ftw[s:s + 1, base:base + t], u.shape)
+                tws = jnp.broadcast_to(ftws[s:s + 1, base:base + t], u.shape)
+                vw = _shoup_lazy(v, tw, tws, p)
+                parts.append(_cond_sub(u + vw, 2 * p))
+                parts.append(_cond_sub(u + _U32(2 * p) - vw, 2 * p))
+            x = jnp.concatenate(parts, axis=1)
+            continue
         tw = jnp.broadcast_to(ftw[s:s + 1, :], x.shape)
         tws = jnp.broadcast_to(ftws[s:s + 1, :], x.shape)
         mask_u = (liota & _U32(2 * t - 1)) < _U32(t)
@@ -130,6 +148,19 @@ def _inv_ntt(x, itw, itws, liota, p: int, N: int):
     S = N.bit_length() - 1
     for s in range(S):
         t = 1 << s
+        if t >= 128:
+            m = N >> (s + 1)
+            parts = []
+            for b in range(m):
+                base = b * 2 * t
+                u = x[:, base:base + t]
+                v = x[:, base + t:base + 2 * t]
+                tw = jnp.broadcast_to(itw[s:s + 1, base:base + t], u.shape)
+                tws = jnp.broadcast_to(itws[s:s + 1, base:base + t], u.shape)
+                parts.append(_cond_sub(u + v, 2 * p))
+                parts.append(_shoup_lazy(u + _U32(2 * p) - v, tw, tws, p))
+            x = jnp.concatenate(parts, axis=1)
+            continue
         tw = jnp.broadcast_to(itw[s:s + 1, :], x.shape)
         tws = jnp.broadcast_to(itws[s:s + 1, :], x.shape)
         mask_u = (liota & _U32(2 * t - 1)) < _U32(t)

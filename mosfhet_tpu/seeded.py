@@ -80,3 +80,43 @@ def subto(c: TRLWE, s: SeededTRLWE) -> TRLWE:
     """c - expand(s) in one pass (`trlwe_compressed_subto`,
     `trlwe_compressed.c:118-154`)."""
     return _trlwe.sub(c, expand(s))
+
+
+# --- reference-compatible seeded samples -------------------------------------
+
+@flax.struct.dataclass
+class MosfhetSeededTRLWE:
+    """A seeded TRLWE in the reference's wire format: 16-byte seed + b poly
+    (`trlwe_save_compressed_sample`, `trlwe_compressed.c:66-69`); the mask is
+    regenerated with xoroshiro128++ (`prng="xoroshiro"`, the reference's
+    default) or SHAKE-128 (`prng="shake"`, USE_SHAKE builds)."""
+    seed: jax.Array  # [..., 16] uint8
+    b: jax.Array     # [..., N] u64
+    k: int = flax.struct.field(pytree_node=False)
+    prng: str = flax.struct.field(pytree_node=False, default="xoroshiro")
+
+    @property
+    def N(self):
+        return self.b.shape[-1]
+
+
+def expand_mosfhet(c: MosfhetSeededTRLWE) -> TRLWE:
+    """Decompress a reference-format seeded sample bit-exactly (host-side
+    via the native library; `trlwe_compressed_sample`,
+    `trlwe_compressed.c:72-99`)."""
+    import numpy as np
+    from . import native as _native
+    seed_np = np.asarray(c.seed, np.uint8)
+    b_shape = c.b.shape
+    N, k = b_shape[-1], c.k
+    batch = seed_np.shape[:-1]
+    seeds = seed_np.reshape(-1, 16)
+    masks = []
+    for s in seeds:
+        sb = s.tobytes()
+        if c.prng == "xoroshiro":
+            masks.append(_native.xoroshiro_expand(sb, k, N))
+        else:
+            masks.append(_native.shake_mask_expand(sb, k, N))
+    a = np.stack(masks).reshape(batch + (k, N))
+    return TRLWE(a=jnp.asarray(a), b=c.b)
