@@ -24,7 +24,7 @@ def main():
     from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
 
     p = params.TFHEPP_L2
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     key = jax.random.PRNGKey(2024)

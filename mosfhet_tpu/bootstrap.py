@@ -104,12 +104,30 @@ def _pallas_eligible(bk: "BootstrapKey") -> bool:
             and all((1 << 28) < p < (1 << 30) for p in bk.primes))
 
 
+def _pallas_rotate_flat(acc0, a_int, bk: BootstrapKey, l: int, Bg_bit: int):
+    """Run the fused kernel scan on a flat batch.
+
+    acc0: [B, k+1, N] u64; a_int: [B, n] int32 in [0, 2N]."""
+    from .ops import pbs_kernel as _pk
+    kp = _pk.get_kernel_plan(bk.N, bk.primes, l, Bg_bit, bk.k)
+    B = acc0.shape[0]
+    pad = (-B) % kp.bt
+    if pad:
+        acc0 = jnp.concatenate(
+            [acc0, jnp.zeros((pad,) + acc0.shape[1:], TORUS_DTYPE)], axis=0)
+        a_int = jnp.concatenate(
+            [a_int, jnp.zeros((pad, a_int.shape[1]), jnp.int32)], axis=0)
+    a_scan = jnp.moveaxis(a_int, -1, 0)                  # [n, B]
+    bkv32 = bk.v.astype(jnp.uint32)
+    bkvs32 = bk.vs.astype(jnp.uint32)
+    acc = _pk.blind_rotate_scan(acc0, a_scan, bkv32, bkvs32, kp)
+    return acc[:B] if pad else acc
+
+
 def _blind_rotate_pallas(tv: TRLWE, a, bk: BootstrapKey) -> TRLWE:
     """Blind rotate with the fused Pallas CMUX kernel (bit-identical to the
     jnp path; see `ops/pbs_kernel.py`)."""
-    from .ops import pbs_kernel as _pk
-    N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
-    kp = _pk.get_kernel_plan(N, bk.primes, l, Bg_bit, k)
+    N, k = bk.N, bk.k
     log_N2 = int(math.log2(2 * N))
     a_arr = jnp.asarray(a, TORUS_DTYPE)
     batch = a_arr.shape[:-1]
@@ -119,18 +137,7 @@ def _blind_rotate_pallas(tv: TRLWE, a, bk: BootstrapKey) -> TRLWE:
     acc0 = jnp.broadcast_to(
         tv.stacked(), batch + (k + 1, N)).reshape(B, k + 1, N)
     a_int = torus2int(a_arr.reshape(B, -1), log_N2).astype(jnp.int32)
-    pad = (-B) % kp.bt
-    if pad:
-        acc0 = jnp.concatenate(
-            [acc0, jnp.zeros((pad, k + 1, N), TORUS_DTYPE)], axis=0)
-        a_int = jnp.concatenate(
-            [a_int, jnp.zeros((pad, a_int.shape[1]), jnp.int32)], axis=0)
-    a_scan = jnp.moveaxis(a_int, -1, 0)                  # [n, B]
-    bkv32 = bk.v.astype(jnp.uint32)
-    bkvs32 = bk.vs.astype(jnp.uint32)
-    acc = _pk.blind_rotate_scan(acc0, a_scan, bkv32, bkvs32, kp)
-    if pad:
-        acc = acc[:B]
+    acc = _pallas_rotate_flat(acc0, a_int, bk, bk.l, bk.Bg_bit)
     return from_stacked(acc.reshape(batch + (k + 1, N)))
 
 
@@ -372,10 +379,32 @@ def multivalue_bootstrap_UBR_phase2(tv: TRLWE, c: TLWE, sa: TRGSWDFT,
 # TRGSW-accumulator blind rotate (`bootstrap.c:267-306`)
 # =========================================================================
 
-def blind_rotate_trgsw(tv: TRGSW, a, bk: BootstrapKey) -> TRGSW:
+def blind_rotate_trgsw(tv: TRGSW, a, bk: BootstrapKey,
+                       impl: str = "auto") -> TRGSW:
     """CMUX chain on a TRGSW accumulator (`blind_rotate_trgsw`).
     Rows act as a batch axis for the external products."""
     assert bk.unfolding == 1
+    if impl == "auto":
+        impl = ("pallas" if _pallas_eligible(bk) and tv.l == bk.l
+                and tv.Bg_bit == bk.Bg_bit else "jnp")
+    if impl == "pallas":
+        N, k = bk.N, bk.k
+        log_N2 = int(math.log2(2 * N))
+        rows = tv.rows
+        batch = rows.shape[:-3]
+        R = rows.shape[-3]
+        B = 1
+        for d in batch:
+            B *= d
+        acc0 = rows.reshape(B * R, k + 1, N)
+        a_arr = jnp.asarray(a, TORUS_DTYPE)
+        a_int = torus2int(
+            jnp.broadcast_to(a_arr, batch + a_arr.shape[-1:]).reshape(B, -1),
+            log_N2).astype(jnp.int32)
+        a_int = jnp.repeat(a_int, R, axis=0)            # same a per row
+        acc = _pallas_rotate_flat(acc0, a_int, bk, tv.l, tv.Bg_bit)
+        return TRGSW(rows=acc.reshape(batch + (R, k + 1, N)),
+                     l=tv.l, Bg_bit=tv.Bg_bit)
     plan = bk.plan()
     N, k, l, Bg_bit = bk.N, bk.k, tv.l, tv.Bg_bit
     log_N2 = int(math.log2(2 * N))

@@ -330,7 +330,12 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
     dig = ((a_vals + prec_offset)[..., None] >> shifts) & mask  # [..., R, t]
 
     flat_tab = table.reshape(R * t * base_m1, table.shape[-2], table.shape[-1])
-    chunk = min(R, 64)
+    # bound the gathered temp [batch, chunk, t, k+1, N] to ~64 MB
+    b_elems = 1
+    for d in a_vals.shape[:-1]:
+        b_elems *= d
+    row_bytes = t * table.shape[-2] * table.shape[-1] * 8
+    chunk = min(R, max(1, (64 << 20) // max(1, b_elems * row_bytes)))
     n_chunks = -(-R // chunk)
     padR = n_chunks * chunk - R
     if padR:

@@ -188,6 +188,13 @@ class PBSKernelPlan:
                  bt: int = DEFAULT_BT):
         assert all((1 << 28) < p < (1 << 30) for p in primes), \
             "pallas kernel needs primes in (2^28, 2^30)"
+        # Plans are cached and may first be requested inside a jit trace;
+        # force concrete table creation (else the cached arrays would be
+        # tracers and leak into later traces).
+        with jax.ensure_compile_time_eval():
+            self._build(N, primes, l, Bg_bit, k, bt)
+
+    def _build(self, N, primes, l, Bg_bit, k, bt):
         self.N, self.primes, self.l, self.Bg_bit, self.k, self.bt = \
             N, tuple(primes), l, Bg_bit, k, bt
         self.P = len(primes)

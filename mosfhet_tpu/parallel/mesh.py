@@ -76,12 +76,20 @@ def _blind_rotate_tp(acc_st, a_int, bk_v, bk_vs, plan, l, Bg_bit, k, N,
 
 
 def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
-                data_axis: str = "data", model_axis: str | None = "model"):
+                data_axis: str = "data", model_axis: str | None = "model",
+                impl: str = "auto"):
     """Returns a jitted, mesh-sharded batched functional bootstrap:
     fn(tv: TRLWE[B, ...], c: TLWE[B, ...]) -> TLWE[B, k*N].
 
     Ciphertext batch is sharded over `data_axis`; the bootstrap key's J axis
-    is sharded over `model_axis` (pass None to replicate the key)."""
+    is sharded over `model_axis` (pass None to replicate the key).
+
+    impl: "auto" uses the fused Pallas kernel per data shard on TPU when
+    the key is replicated (pure data parallelism — the blind rotate is then
+    communication-free); gadget-axis (model) sharding and non-TPU platforms
+    use the portable jnp path.  Both are exact.  With the kernel, the
+    per-shard batch (B / data) must be a multiple of the kernel tile (32).
+    """
     assert bk.unfolding == 1
     plan = bk.plan()
     N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
@@ -89,6 +97,10 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
     J = (k + 1) * l
     m_size = mesh.shape[model_axis] if model_axis else 1
     assert J % m_size == 0
+    if impl == "auto":
+        from .. import bootstrap as _bs
+        impl = ("pallas" if m_size == 1 and _bs._pallas_eligible(bk)
+                else "jnp")
 
     bk_spec = P(None, model_axis, None, None, None) if model_axis else \
         P(None, None, None, None, None)
@@ -104,6 +116,12 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
         acc = _poly.mul_by_xai(tv_st, (2 * N - b_int)[..., None])
         a_int = torus2int(a, log_N2).astype(jnp.int32)
         a_scan = jnp.moveaxis(a_int, -1, 0)
+        if impl == "pallas":
+            from ..ops import pbs_kernel as _pk
+            kp = _pk.get_kernel_plan(N, bk.primes, l, Bg_bit, k)
+            return _pk.blind_rotate_scan(
+                acc, a_scan, bk_v.astype(jnp.uint32),
+                bk_vs.astype(jnp.uint32), kp)
         acc = _blind_rotate_tp(acc, a_scan, bk_v, bk_vs, plan, l, Bg_bit,
                                k, N, model_axis if m_size > 1 else None)
         return acc

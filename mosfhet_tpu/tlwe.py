@@ -114,6 +114,124 @@ def new_ks_key(key, out_key: TLWEKey, in_key: TLWEKey, t: int,
     return TLWEKSKey(a=c.a, b=c.b, t=t, base_bit=base_bit)
 
 
+@flax.struct.dataclass
+class TLWEKSKeyM:
+    """No-precomputation KS key: entry [i, j] encrypts
+    s_in[i] * 2^(64-(j+1)*base_bit); the digit value multiplies at switch
+    time (`tlwe_new_KS_key_no_precomp`, `tlwe.c:214-230`).  (base-1)x
+    smaller than `TLWEKSKey` at the cost of a scalar multiply per entry."""
+    a: jax.Array  # [n_in, t, n_out] u64
+    b: jax.Array  # [n_in, t] u64
+    t: int = flax.struct.field(pytree_node=False)
+    base_bit: int = flax.struct.field(pytree_node=False)
+
+
+def new_ks_key_no_precomp(key, out_key: TLWEKey, in_key: TLWEKey, t: int,
+                          base_bit: int) -> TLWEKSKeyM:
+    shifts = jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+    )
+    m = in_key.s.astype(TORUS_DTYPE)[:, None] << shifts[None, :]
+    c = encrypt(m, out_key, key)
+    return TLWEKSKeyM(a=c.a, b=c.b, t=t, base_bit=base_bit)
+
+
+def keyswitch_no_precomp(c: TLWE, ksk: TLWEKSKeyM) -> TLWE:
+    """out = (0, b) - sum_{i,j} aij * KS[i][j] with the extra rounding
+    half-bit the reference adds in this variant
+    (`tlwe_keyswitch_no_precomp`, `tlwe.c:305-320`)."""
+    t, base_bit = ksk.t, ksk.base_bit
+    prec_offset = jnp.uint64(1 << (TORUS_BITS - (1 + base_bit * t)))
+    offset = jnp.uint64(1 << (TORUS_BITS - base_bit * t - 1))
+    mask = jnp.uint64((1 << base_bit) - 1)
+    shifts = jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+    )
+    ai = c.a + prec_offset + offset                        # [..., n_in]
+    dig = (ai[..., None] >> shifts) & mask                 # [..., n_in, t]
+    sb = jnp.sum(dig * ksk.b, axis=(-2, -1), dtype=TORUS_DTYPE)
+    # u64 "matmul" over (i, j) in chunks (XLA has no u64 dot)
+    n_in = ksk.a.shape[0]
+    chunk = min(n_in, 128)
+    n_chunks = -(-n_in // chunk)
+    pad = n_chunks * chunk - n_in
+    dig_p = jnp.concatenate(
+        [dig, jnp.zeros(dig.shape[:-2] + (pad, t), dig.dtype)], axis=-2
+    ) if pad else dig
+    ka = jnp.concatenate(
+        [ksk.a, jnp.zeros((pad, t, ksk.a.shape[-1]), TORUS_DTYPE)], axis=0
+    ) if pad else ksk.a
+    dig_s = jnp.moveaxis(
+        dig_p.reshape(dig.shape[:-2] + (n_chunks, chunk, t)), -3, 0)
+    ka_s = ka.reshape(n_chunks, chunk, t, -1)
+
+    def body(acc, xs):
+        d, k_ = xs
+        return acc + jnp.sum(d[..., None] * k_, axis=(-3, -2),
+                             dtype=TORUS_DTYPE), None
+
+    init = jnp.zeros(c.b.shape + (ksk.a.shape[-1],), TORUS_DTYPE)
+    sa, _ = jax.lax.scan(body, init, (dig_s, ka_s))
+    return TLWE(a=jnp.uint64(0) - sa, b=c.b - sb)
+
+
+@flax.struct.dataclass
+class TLWEKSKeyPrepared:
+    """MXU form of `TLWEKSKeyM`: key words split into 4-bit limbs so the
+    digit contraction runs as exact int8 matmuls on the MXU.
+
+    The no-precomp keyswitch is *linear* in the digits
+    (out -= sum_ij d_ij * KS[i][j], `tlwe.c:305-320`), so it is a
+    [batch, n_in*t] x [n_in*t, n_out+1] integer matmul; with 4-bit key
+    limbs and digits < 2^7 every i32 accumulator stays exact
+    (n_in*t * 127 * 15 < 2^31) and the mod-2^64 recombination is a few
+    shifts.  This is the TPU-native fast path for key switching."""
+    a_nib: jax.Array  # [16, n_in*t, n_out] int8
+    b_nib: jax.Array  # [16, n_in*t] int8
+    t: int = flax.struct.field(pytree_node=False)
+    base_bit: int = flax.struct.field(pytree_node=False)
+
+
+def prepare_ks_key_mxu(ksk: TLWEKSKeyM) -> TLWEKSKeyPrepared:
+    assert ksk.base_bit <= 7, "digits must fit int8"
+    K = ksk.a.shape[0] * ksk.a.shape[1]
+    a = ksk.a.reshape(K, -1)
+    b = ksk.b.reshape(K)
+    shifts = jnp.arange(16, dtype=jnp.uint64) * jnp.uint64(4)
+    a_nib = ((a[None] >> shifts[:, None, None]) & jnp.uint64(0xF)
+             ).astype(jnp.int8)
+    b_nib = ((b[None] >> shifts[:, None]) & jnp.uint64(0xF)).astype(jnp.int8)
+    return TLWEKSKeyPrepared(a_nib=a_nib, b_nib=b_nib, t=ksk.t,
+                             base_bit=ksk.base_bit)
+
+
+def keyswitch_mxu(c: TLWE, ksk: TLWEKSKeyPrepared) -> TLWE:
+    """`keyswitch_no_precomp` on the MXU — bit-identical result."""
+    t, base_bit = ksk.t, ksk.base_bit
+    prec_offset = jnp.uint64(1 << (TORUS_BITS - (1 + base_bit * t)))
+    offset = jnp.uint64(1 << (TORUS_BITS - base_bit * t - 1))
+    mask = jnp.uint64((1 << base_bit) - 1)
+    shifts = jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+    )
+    ai = c.a + prec_offset + offset
+    dig = ((ai[..., None] >> shifts) & mask).astype(jnp.int8)
+    batch = c.b.shape
+    D = dig.reshape(batch + (-1,))                        # [..., K]
+    # exact int8 matmuls per 4-bit limb, recombined mod 2^64
+    pa = jax.lax.dot_general(
+        D, ksk.a_nib, (((D.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # [..., 16, n_out]
+    pb = jax.lax.dot_general(
+        D, ksk.b_nib, (((D.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # [..., 16]
+    w = jnp.arange(16, dtype=jnp.uint64) * jnp.uint64(4)
+    sa = jnp.sum(pa.astype(jnp.uint64) << w[:, None], axis=-2,
+                 dtype=TORUS_DTYPE)
+    sb = jnp.sum(pb.astype(jnp.uint64) << w, axis=-1, dtype=TORUS_DTYPE)
+    return TLWE(a=jnp.uint64(0) - sa, b=c.b - sb)
+
+
 def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
     """Digit-decompose each a_i and subtract table entries
     (`tlwe_keyswitch`, `tlwe.c:289-303`).  The reference's `if aij != 0`
@@ -133,7 +251,12 @@ def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
     ai = c.a + prec_offset                                  # [..., n_in]
     dig = (ai[..., None] >> shifts) & mask                  # [..., n_in, t]
 
-    chunk = min(n_in, 128)
+    # bound the gathered temp [batch, chunk, t, n_out] to ~64 MB
+    b_elems = 1
+    for d in batch:
+        b_elems *= d
+    budget = (64 << 20) // max(1, b_elems * t * (n_out + 1) * 8)
+    chunk = min(n_in, max(1, budget))
     n_chunks = -(-n_in // chunk)
     pad = n_chunks * chunk - n_in
     if pad:

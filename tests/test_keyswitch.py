@@ -124,3 +124,39 @@ def test_priv_keyswitch_pair():
     want_poly = polynomial.ntt_mul_small(
         -sk.s[0], trlwe.phase(c, sk), sk.plan())
     assert_torus_within(1 << 52, want_poly, trlwe.phase(out, sk), "priv pair")
+
+
+def test_tlwe_keyswitch_no_precomp():
+    """(`tlwe_keyswitch_no_precomp`, `tlwe.c:305-320`): (base-1)x smaller
+    key, scalar multiply at switch time, coarser rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mosfhet_tpu import tlwe, torus
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 4)
+    out_key = tlwe.new_binary_key(k0, 32, 0.0)
+    in_key = tlwe.new_binary_key(k1, 64, 0.0)
+    ksk = tlwe.new_ks_key_no_precomp(k2, out_key, in_key, 6, 4)
+    m = torus.double2torus(jnp.arange(8) / 16.0)
+    c = tlwe.encrypt(m, in_key, k3)
+    o = tlwe.keyswitch_no_precomp(c, ksk)
+    ph = np.asarray(tlwe.phase(o, out_key), np.uint64)
+    err = np.abs((ph - np.asarray(m, np.uint64)).astype(np.int64))
+    assert err.max() < 1 << 45
+
+
+def test_tlwe_keyswitch_mxu_bit_identical():
+    """The MXU (int8-matmul) keyswitch equals keyswitch_no_precomp exactly."""
+    import jax
+    import jax.numpy as jnp
+    from mosfhet_tpu import tlwe, torus
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(21), 4)
+    out_key = tlwe.new_binary_key(k0, 24, 2.0**-30)
+    in_key = tlwe.new_binary_key(k1, 48, 2.0**-30)
+    ksk = tlwe.new_ks_key_no_precomp(k2, out_key, in_key, 5, 3)
+    pksk = tlwe.prepare_ks_key_mxu(ksk)
+    m = torus.double2torus(jnp.arange(16) / 32.0)
+    c = tlwe.encrypt(m, in_key, k3)
+    o1 = tlwe.keyswitch_no_precomp(c, ksk)
+    o2 = tlwe.keyswitch_mxu(c, pksk)
+    assert bool(jnp.all(o1.a == o2.a) & jnp.all(o1.b == o2.b))
