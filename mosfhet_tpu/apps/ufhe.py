@@ -90,10 +90,15 @@ def new_public_keyset(rkey, priv: PrivKeyset,
                       torus_base: int = 4) -> PublicKeyset:
     p = priv.params
     k0, k1, k2 = jax.random.split(rkey, 3)
-    bk = _bs.new_key(k0, priv.trgsw, priv.tlwe, 1)
-    ksk = _tlwe.new_ks_key(k1, priv.tlwe, priv.extracted, p.t, p.base_bit)
-    pk = _ks.new_lut_packing_ks_key(k2, priv.trlwe, priv.extracted,
-                                    p.t, p.base_bit, torus_base)
+    # jit each keygen: un-jitted eager dispatch materializes every NTT
+    # intermediate of these multi-GB tables (HBM OOM at production params)
+    bk = jax.jit(lambda r, tk: _bs.new_key(r, priv.trgsw, tk, 1))(
+        k0, priv.tlwe)
+    ksk = jax.jit(lambda r, ok, ik: _tlwe.new_ks_key(
+        r, ok, ik, p.t, p.base_bit))(k1, priv.tlwe, priv.extracted)
+    pk = jax.jit(lambda r, ok, ik: _ks.new_lut_packing_ks_key(
+        r, ok, ik, p.t, p.base_bit, torus_base))(k2, priv.trlwe,
+                                                 priv.extracted)
     return PublicKeyset(bootstrap_key=bk, packing_key=pk, ks_key=ksk,
                         params=p)
 

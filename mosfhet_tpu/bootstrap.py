@@ -208,12 +208,12 @@ def blind_rotate_unfolded(tv: TRLWE, a, bk: BootstrapKey) -> TRLWE:
             su_g, rot_g[..., :, None, None])             # [..., 2^u, R, k+1, N]
         comb = jnp.sum(rotated, axis=-4, dtype=TORUS_DTYPE)
         gd = _ntt.to_ntt_u64(comb, plan)                 # [..., R, k+1, P, N]
-        gds = _ntt.make_shoup(gd, plan.p[:, None])
         digits = gadget_decompose(acc_st, Bg_bit, l)
         digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
         spec = _ntt.to_ntt_small(digits, plan)
-        acc_ntt = _ntt.pointwise_mul_acc_key(
-            spec[..., :, None, :, :], gd, gds, plan, axis=-4)
+        # both operands dynamic: division-free Barrett mul-acc
+        acc_ntt = _ntt.pointwise_mul_acc_generic(
+            spec[..., :, None, :, :], gd, plan, axis=-4)
         return _ntt.from_ntt_u64(acc_ntt, plan), None
 
     acc, _ = jax.lax.scan(step, tv.stacked(), (bk.su, rot_scan))

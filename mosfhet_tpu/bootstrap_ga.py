@@ -66,8 +66,14 @@ class GABootstrapKey:
 def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey) -> GABootstrapKey:
     """BK gen: TRGSW(X^{s_i}) + automorphism keyset for every odd generator,
     with the TRGSW decomposition params reused for the keyset
-    (`bootstrap_ga.c:5-24` passes l/Bg_bit as t/base_bit)."""
+    (`bootstrap_ga.c:5-24` passes l/Bg_bit as t/base_bit).
+
+    The keyset (N generators) is generated vectorized: one gather builds
+    every permuted key, and the KS-key encryptions run in chunked
+    `lax.map` batches — the reference's per-generator loop would be N
+    separate keygens."""
     from . import bootstrap as _bs
+    from .torus import TORUS_BITS
     tk = out_key.trlwe_key
     l, Bg_bit, k, N = out_key.l, out_key.Bg_bit, tk.k, tk.N
     n = in_key.n
@@ -80,18 +86,44 @@ def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey) -> GABootstrapKey:
     # all-odd automorphism keyset, stacked by (gen-1)//2
     t, base_bit = l, Bg_bit
     ks_plan = _ks._ks_plan(N, base_bit, t, tk.k * t)
-    ak_v, ak_vs = [], []
-    for gen in range(1, 2 * N, 2):
-        from . import polynomial as _poly
-        s_perm = _poly.permute(tk.s.astype(TORUS_DTYPE), gen).astype(jnp.int64)
-        key2 = _trlwe.TRLWEKey(s=s_perm, sigma=tk.sigma, s_bound=tk.s_bound)
-        ksk = _ks.new_trlwe_ks_key(
-            jax.random.fold_in(k2, gen), tk, key2, t, base_bit)
-        ak_v.append(ksk.v.reshape((-1,) + ksk.v.shape[2:]))
-        ak_vs.append(ksk.vs.reshape((-1,) + ksk.vs.shape[2:]))
+    # permutation tables for every odd generator (host-side)
+    gens = np.arange(1, 2 * N, 2)
+    idx = np.zeros((N, N), np.int32)      # [gen_idx, j] -> source coeff
+    neg = np.zeros((N, N), bool)
+    j = np.arange(N)
+    for gi, gen in enumerate(gens):
+        ginv = pow(int(gen), -1, 2 * N)
+        ic = (j * ginv) % (2 * N)
+        neg[gi] = ic >= N
+        idx[gi] = np.where(neg[gi], ic - N, ic)
+    s_t = tk.s.astype(TORUS_DTYPE)                       # [k, N]
+    g_s = jnp.take(s_t, jnp.asarray(idx), axis=-1)       # [k, G, N]
+    g_s = jnp.where(jnp.asarray(neg), jnp.uint64(0) - g_s, g_s)
+    g_s = jnp.moveaxis(g_s, 0, 1)                        # [G, k, N]
+    shifts = (jnp.uint64(1) << jnp.array(
+        [TORUS_BITS - (j2 + 1) * base_bit for j2 in range(t)],
+        dtype=jnp.uint64))
+    ms = g_s[:, :, None, :] * shifts[None, None, :, None]  # [G, k, t, N]
+    ms = ms.reshape(N, tk.k * t, N)
+
+    chunk = max(1, min(N, 64))
+    n_chunks = N // chunk
+    keys = jax.random.split(k2, n_chunks)
+    ms_c = ms.reshape(n_chunks, chunk * tk.k * t, N)
+
+    def one(args):
+        rk, m = args
+        c = _trlwe.encrypt(m, tk, rk)
+        v = _ntt.to_ntt_u64(c.stacked(), ks_plan)
+        return v, _ntt.make_shoup(v, ks_plan.p[:, None])
+
+    v_c, vs_c = jax.lax.map(one, (keys, ms_c))
+    shape = (N, tk.k * t, tk.k + 1, ks_plan.P, N)
+    ak_v = v_c.reshape(shape)
+    ak_vs = vs_c.reshape(shape)
     return GABootstrapKey(
         s_v=gd.v, s_vs=gd.vs,
-        ak_v=jnp.stack(ak_v), ak_vs=jnp.stack(ak_vs),
+        ak_v=ak_v, ak_vs=ak_vs,
         inv2n=jnp.asarray(inverse_mod_2n_table(N)),
         n=n, k=k, N=N, l=l, Bg_bit=Bg_bit, ks_t=t, ks_base_bit=base_bit,
         primes=plan.primes, ks_primes=ks_plan.primes)

@@ -255,9 +255,28 @@ class LUTPackingKSKey:
 
 
 def _zero_trlwe_table(rkey, out_key: TRLWEKey, shape):
-    """Encryptions of zero for every table slot, stacked [..., k+1, N]."""
-    ms = jnp.zeros(shape + (out_key.N,), TORUS_DTYPE)
-    return _trlwe.encrypt(ms, out_key, rkey).stacked()
+    """Encryptions of zero for every table slot, stacked [..., k+1, N].
+
+    Encrypted in fixed-size chunks via `lax.map` — packing-KS tables have
+    tens of thousands of slots and a single batched encryption would
+    materialize tens of GB of NTT intermediates."""
+    total = 1
+    for d in shape:
+        total *= d
+    chunk = 2048
+    if total <= chunk:
+        ms = jnp.zeros(shape + (out_key.N,), TORUS_DTYPE)
+        return _trlwe.encrypt(ms, out_key, rkey).stacked()
+    n_chunks = -(-total // chunk)
+    keys = jax.random.split(rkey, n_chunks)
+    zeros = jnp.zeros((chunk, out_key.N), TORUS_DTYPE)
+
+    def one(rk):
+        return _trlwe.encrypt(zeros, out_key, rk).stacked()
+
+    parts = jax.lax.map(one, keys)          # [n_chunks, chunk, k+1, N]
+    flat = parts.reshape(n_chunks * chunk, out_key.k + 1, out_key.N)
+    return flat[:total].reshape(shape + (out_key.k + 1, out_key.N))
 
 
 def _dec_key_values(in_s, t: int, base_bit: int):
@@ -330,20 +349,19 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
     dig = ((a_vals + prec_offset)[..., None] >> shifts) & mask  # [..., R, t]
 
     flat_tab = table.reshape(R * t * base_m1, table.shape[-2], table.shape[-1])
-    # bound the gathered temp [batch, chunk, t, k+1, N] to ~64 MB
+    # bound the gathered temp [batch, chunk, t, k+1, N] to ~64 MB; prefer a
+    # chunk that divides R so the (multi-GB) table never needs a padded copy
     b_elems = 1
     for d in a_vals.shape[:-1]:
         b_elems *= d
     row_bytes = t * table.shape[-2] * table.shape[-1] * 8
-    chunk = min(R, max(1, (64 << 20) // max(1, b_elems * row_bytes)))
-    n_chunks = -(-R // chunk)
-    padR = n_chunks * chunk - R
-    if padR:
-        dig = jnp.concatenate(
-            [dig, jnp.zeros(dig.shape[:-2] + (padR, t), dig.dtype)], axis=-2)
-        flat_tab = jnp.concatenate(
-            [flat_tab, jnp.zeros((padR * t * base_m1,) + flat_tab.shape[1:],
-                                 TORUS_DTYPE)], axis=0)
+    budget = min(R, max(1, (64 << 20) // max(1, b_elems * row_bytes)))
+    chunk = 1
+    for c in range(budget, 0, -1):
+        if R % c == 0:
+            chunk = c
+            break
+    n_chunks = R // chunk
     dig_s = jnp.moveaxis(
         dig.reshape(dig.shape[:-2] + (n_chunks, chunk, t)), -3, 0)
     tab_s = flat_tab.reshape((n_chunks, chunk * t * base_m1)

@@ -156,6 +156,9 @@ class NTTPlan:
         self.mu = jnp.asarray(
             np.array([(1 << 60) // p for p in self.primes], dtype=np.uint64)
         )
+        self.mu62 = jnp.asarray(
+            np.array([(1 << 62) // p for p in self.primes], dtype=np.uint64)
+        )
         self.psi_rev = jnp.asarray(psi_rev)
         self.psi_rev_shoup = jnp.asarray(psi_rev_sh)
         self.ipsi_rev = jnp.asarray(ipsi_rev)
@@ -216,6 +219,24 @@ def shoup_mul(a, w, w_shoup, p):
 def make_shoup(w, p):
     """On-the-fly Shoup companion (uses u64 division — cold paths only)."""
     return (w << jnp.uint64(32)) // p
+
+
+def barrett_mul(a, b, plan: "NTTPlan"):
+    """Generic a * b mod p without a precomputed Shoup companion and
+    without division: Barrett with mu62 = floor(2^62 / p).
+
+    a, b: residues in [0, p) with 2^29.5 < p < 2^30 (every MASTER prime)
+    -> z = a*b < 2^60; q = ((z >> 30) * mu62) >> 32 underestimates z/p by
+    < 2.4, so two conditional subtractions return the exact value.
+    Replaces `make_shoup` on hot paths that multiply two dynamic operands
+    (e.g. the unfolded blind rotate's per-step combined TRGSW)."""
+    pp = plan.p[:, None]
+    mu = plan.mu62[:, None]
+    z = a * b
+    q = ((z >> jnp.uint64(30)) * mu) >> jnp.uint64(32)
+    r = z - q * pp
+    r = jnp.where(r >= pp, r - pp, r)
+    return jnp.where(r >= pp, r - pp, r)
 
 
 def barrett_small(z, p, mu):
@@ -434,6 +455,16 @@ def pointwise_mul_key(a, key_val, key_shoup, plan: NTTPlan):
     """Pointwise product against precomputed key material (hot path)."""
     pp = plan.p[:, None]
     return shoup_mul(a, key_val, key_shoup, pp)
+
+
+def pointwise_mul_acc_generic(a, b, plan: NTTPlan, axis: int):
+    """sum over `axis` of a * b for two dynamic operands (no precomputed
+    Shoup companions): exact Barrett products, lazy u64 accumulation.
+    Reduction length J must satisfy J * p < 2^59."""
+    prods = barrett_mul(a, b, plan)
+    s = jnp.sum(prods, axis=axis, dtype=jnp.uint64)
+    pp = plan.p[:, None]
+    return barrett_small(s, pp, plan.mu[:, None])
 
 
 def pointwise_mul_acc_key(a, key_val, key_shoup, plan: NTTPlan, axis: int):
