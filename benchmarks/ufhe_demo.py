@@ -30,25 +30,30 @@ def main():
     ctx = ufhe.setup_context(pub)
     print(f"# keygen {time.time()-t0:.0f}s", file=sys.stderr)
 
-    va, vb = 23, 41
+    va, vb = 23 % (1 << prec), 41 % (1 << prec)
     a = ufhe.encrypt_integer(k2, va, prec, False, priv, ctx)
     b = ufhe.encrypt_integer(k3, vb, prec, False, priv, ctx)
 
+    # whole encrypted-integer ops are jittable: keysets are PyTree args
+    add_j = jax.jit(ufhe.add_integer, static_argnums=(2,))
+    mul_j = jax.jit(ufhe.mul_integer, static_argnums=(2,))
+    cmp_j = jax.jit(ufhe.cmp_integer)
+
     results = {}
     t0 = time.time()
-    s = ufhe.add_integer(a, b, a.d + 1, ctx)
+    s = add_j(a, b, a.d + 1, ctx)
     sv = ufhe.decrypt_integer(s, priv, ctx)
     results["add"] = {"time_s": round(time.time() - t0, 2),
                       "got": sv, "want": va + vb, "ok": sv == va + vb}
 
     t0 = time.time()
-    m = ufhe.mul_integer(a, b, a.d + b.d, ctx)
+    m = mul_j(a, b, a.d + b.d, ctx)
     mv = ufhe.decrypt_integer(m, priv, ctx)
     results["mul"] = {"time_s": round(time.time() - t0, 2),
                       "got": mv, "want": va * vb, "ok": mv == va * vb}
 
     t0 = time.time()
-    c = ufhe.cmp_integer(a, b, ctx)
+    c = cmp_j(a, b, ctx)
     cv = ufhe.decrypt_integer(c, priv, ctx)
     want_cmp = 2 if va > vb else (1 if va == vb else 0)
     results["cmp"] = {"time_s": round(time.time() - t0, 2),

@@ -41,6 +41,7 @@ from . import product
 from . import seeded
 from . import io
 from . import parallel
+from . import utils
 from .params import TFHEParams, get_params, PARAM_REGISTRY
 
 __version__ = "0.1.0"

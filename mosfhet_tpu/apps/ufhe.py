@@ -30,43 +30,48 @@ from ..trlwe import TRLWE
 from ..torus import TORUS_DTYPE, double2torus, torus2double
 
 
-@dataclasses.dataclass
+import flax.struct
+
+
+@flax.struct.dataclass
 class PrivKeyset:
-    """(`ufhe_new_priv_keyset`, `ufhe.c:22-32`)."""
+    """(`ufhe_new_priv_keyset`, `ufhe.c:22-32`).  A PyTree, so whole
+    encrypted-integer operations are jittable with the keyset as an
+    argument."""
     tlwe: object
     trlwe: object
     extracted: object
     trgsw: object
-    params: TFHEParams
+    params: TFHEParams = flax.struct.field(pytree_node=False)
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class PublicKeyset:
     """(`ufhe_new_public_keyset`, `ufhe.c:34-42`)."""
     bootstrap_key: object
     packing_key: object
     ks_key: object
-    params: TFHEParams
+    params: TFHEParams = flax.struct.field(pytree_node=False)
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class Context:
     """Precomputed LUTs + multiplication matrices
     (`ufhe_setup_context`, `ufhe.c:44-94`)."""
     keyset: PublicKeyset
-    torus_base: int
-    log_torus_base: int
     addsub_lut: TRLWE
     signextend_lut: TRLWE
-    mulmod: list
-    mulquo: list
+    torus_base: int = flax.struct.field(pytree_node=False)
+    log_torus_base: int = flax.struct.field(pytree_node=False)
+    mulmod: tuple = flax.struct.field(pytree_node=False)
+    mulquo: tuple = flax.struct.field(pytree_node=False)
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class Integer:
     """d base-B digits, little-endian, as one TLWE with leading [d] axis."""
     digits: TLWE
-    signed: bool
+    signed: bool = flax.struct.field(pytree_node=False)
 
     @property
     def d(self):
@@ -115,8 +120,8 @@ def setup_context(keyset: PublicKeyset) -> Context:
                  double2torus((tb - 1) / (2 * tb)), TORUS_DTYPE),
     ])
     signextend = _trlwe.torus_packing(se_vals, p.k, p.N)
-    mulmod = [[(i * j) % tb for j in range(tb)] for i in range(tb)]
-    mulquo = [[(i * j) // tb for j in range(tb)] for i in range(tb)]
+    mulmod = tuple(tuple((i * j) % tb for j in range(tb)) for i in range(tb))
+    mulquo = tuple(tuple((i * j) // tb for j in range(tb)) for i in range(tb))
     return Context(keyset=keyset, torus_base=tb, log_torus_base=log_tb,
                    addsub_lut=addsub, signextend_lut=signextend,
                    mulmod=mulmod, mulquo=mulquo)
