@@ -84,7 +84,7 @@ def eval_lut_vertical(enc_bits: TRGSWDFT, size: int, luts: TRLWE) -> TLWE:
     acc = TRLWE(a=cur.a[0], b=cur.b[0]) if cur.b.ndim > 1 else cur
     # blind rotate by sum of bit_i * 2^i: a_i = (2N - 2^i) / 2N on the torus
     n_bits = min(size, log_N)
-    a = jnp.stack([int2torus(jnp.uint64(2 * N - (1 << i)), log_N + 1)
+    a = jnp.stack([int2torus(TORUS_DTYPE(2 * N - (1 << i)), log_N + 1)
                    for i in range(n_bits)])
     bkv = enc_bits.v[:n_bits]
     bkvs = enc_bits.vs[:n_bits]

@@ -201,7 +201,7 @@ def extend_integer(c: Integer, old_precision: int, ctx: Context) -> Integer:
     if not c.signed:
         for i in range(d_ini, c.d):
             c = _set_digit(c, i, _tlwe.noiseless_trivial(
-                jnp.uint64(0), c.digits.a.shape[-1]))
+                TORUS_DTYPE(0), c.digits.a.shape[-1]))
         return c
     if c.d <= d_ini:
         return c
@@ -305,7 +305,7 @@ def neg_integer(a: Integer, ctx: Context) -> Integer:
     dig_off = double2torus(1.0 / (2 * ctx.torus_base))
     out = _tlwe.neg(a.digits)
     b = out.b + half
-    b = b.at[1:].add(jnp.uint64(0) - dig_off)
+    b = b.at[1:].add(TORUS_DTYPE(0) - dig_off)
     return Integer(digits=TLWE(a=out.a, b=b), signed=a.signed)
 
 
@@ -322,7 +322,7 @@ def mul_integer(a: Integer, b: Integer, out_d: int, ctx: Context) -> Integer:
         sel = _tlwe.keyswitch(_digit(a, i), ctx.keyset.ks_key)
         mv_tv = _bs.multivalue_bootstrap_phase1(
             sel, ctx.keyset.bootstrap_key, tb)
-        zero = _tlwe.noiseless_trivial(jnp.uint64(0), n_out)
+        zero = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
         lut_mod = [zero, _digit(a, i)]
         lut_quo = [zero, zero]
         for j in range(2, tb):
@@ -364,7 +364,7 @@ def cmp_integer(a: Integer, b: Integer, ctx: Context) -> Integer:
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
     size = max(a.d, b.d)
     one = _tlwe.noiseless_trivial(_digit_torus(1, ctx), n_out)
-    c0 = _tlwe.noiseless_trivial(jnp.uint64(0), n_out)
+    c0 = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
     for i in range(size):
         if i < a.d and i < b.d:
             diff = _tlwe.sub(_digit(a, i), _digit(b, i))
@@ -436,7 +436,7 @@ def mux_integer_array(selector: Integer, vec: list, out_d: int,
     """out = vec[selector] (`ufhe_mux_integer_array`, `lut.c:49-64`)."""
     tb = ctx.torus_base
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
-    zero = _tlwe.noiseless_trivial(jnp.uint64(0), n_out)
+    zero = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
     out = _zero_int(out_d, False, ctx)
     for i in range(out_d):
         lut = [_digit(v, i) for v in vec]
@@ -452,7 +452,7 @@ def relu_integer(a: Integer, ctx: Context) -> Integer:
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
     p = ctx.keyset.params
     sel = _tlwe.keyswitch(_digit(a, a.d - 1), ctx.keyset.ks_key)
-    zero = _tlwe.noiseless_trivial(jnp.uint64(0), n_out)
+    zero = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
     out = _zero_int(a.d, a.signed, ctx)
     for i in range(a.d - 1):
         lut = [_digit(a, i)] * (tb // 2) + [zero] * (tb - tb // 2)

@@ -222,7 +222,7 @@ def blind_rotate_unfolded(tv: TRLWE, a, bk: BootstrapKey) -> TRLWE:
 
 def _prec_offset(torus_base: int):
     """double2torus(1/(4*torus_base)) (`bootstrap.c:194`)."""
-    return jnp.uint64((1 << 64) // (4 * torus_base))
+    return TORUS_DTYPE((1 << TORUS_BITS) // (4 * torus_base))
 
 
 def functional_bootstrap_wo_extract(tv: TRLWE, c: TLWE, bk: BootstrapKey,
@@ -252,10 +252,10 @@ def programmable_bootstrap(tv: TRLWE, c: TLWE, bk: BootstrapKey,
     (`programmable_bootstrap`, `bootstrap.c:208-220`)."""
     N = bk.N
     log_N2 = int(math.log2(2 * N))
-    rnd_os = jnp.uint64(1 << (TORUS_BITS - log_N2 + theta - 1))
-    theta_mask = jnp.uint64(
-        (~((1 << (TORUS_BITS - log_N2 + theta)) - 1)) & ((1 << 64) - 1))
-    ka = jnp.uint64(kappa)
+    rnd_os = TORUS_DTYPE(1 << (TORUS_BITS - log_N2 + theta - 1))
+    theta_mask = TORUS_DTYPE(
+        (~((1 << (TORUS_BITS - log_N2 + theta)) - 1)) & ((1 << TORUS_BITS) - 1))
+    ka = TORUS_DTYPE(kappa)
     a = ((c.a << ka) + rnd_os) & theta_mask
     b = ((c.b << ka) + rnd_os) & theta_mask
     return functional_bootstrap(tv, TLWE(a=a, b=b), bk, 1 << (precision - 1))
@@ -297,7 +297,7 @@ def multivalue_bootstrap_phase2(lut_values, rotated: list[TRLWE],
     from . import tlwe as _tlwe
     N, k = rotated[0].N, rotated[0].k
     n_out = N * k
-    out = _tlwe.noiseless_trivial(jnp.uint64(0), n_out)
+    out = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
     for j in range(log_torus_base):
         w0 = ((lut_values[0] >> j) & 1) + ((lut_values[torus_base - 1] >> j) & 1)
         if w0 == 2:
@@ -452,7 +452,7 @@ def functional_bootstrap_trgsw_phase2(g: TRGSWDFT, tv: TRLWE) -> TLWE:
 # =========================================================================
 
 def _gadget_h(i: int, Bg_bit: int):
-    return jnp.uint64(1 << (TORUS_BITS - (i + 1) * Bg_bit))
+    return TORUS_DTYPE(1 << (TORUS_BITS - (i + 1) * Bg_bit))
 
 
 def circuit_bootstrap(c: TLWE, bk: BootstrapKey, kska, kskb,
@@ -556,19 +556,19 @@ def fdfb_ks21(tv_poly, c: TLWE, bk: BootstrapKey, ksk, torus_base: int,
     if use_many_lut:
         slot = N // (l * torus_base // 2)
         lut = jnp.array(
-            [jnp.uint64(0) - (_gadget_h(i, Bg_bit) >> jnp.uint64(1))
+            [TORUS_DTYPE(0) - (_gadget_h(i, Bg_bit) >> TORUS_DTYPE(1))
              for i in range(l) for _ in range(torus_base // 2)], TORUS_DTYPE)
         # sign value per level: -(h_i / 2)
         tv1 = _trlwe.torus_packing_many_lut(lut, torus_base // 2, l, k, N)
         acc = functional_bootstrap_wo_extract(tv1, c, bk, l * torus_base // 2)
         for i in range(l):
-            sign = jnp.uint64(0) - (_gadget_h(i, Bg_bit) >> jnp.uint64(1))
+            sign = TORUS_DTYPE(0) - (_gadget_h(i, Bg_bit) >> TORUS_DTYPE(1))
             tmp = _trlwe.extract_tlwe(acc, i * slot)
             tmp = TLWE(a=tmp.a, b=tmp.b - sign)
             sel_rows.append(_ks.packing1_keyswitch(tmp, ksk))
     else:
         for i in range(l):
-            sign = jnp.uint64(0) - (_gadget_h(i, Bg_bit) >> jnp.uint64(1))
+            sign = TORUS_DTYPE(0) - (_gadget_h(i, Bg_bit) >> TORUS_DTYPE(1))
             tv1 = _trlwe.torus_packing(jnp.array([sign], TORUS_DTYPE), k, N)
             tmp = functional_bootstrap(tv1, c, bk, torus_base // 2)
             tmp = TLWE(a=tmp.a, b=tmp.b - sign)
@@ -579,7 +579,7 @@ def fdfb_ks21(tv_poly, c: TLWE, bk: BootstrapKey, ksk, torus_base: int,
     tvp = jnp.asarray(tv_poly, TORUS_DTYPE)
     assert tvp.shape[-1] == 2 * N
     p0 = tvp[..., :N]
-    p1 = jnp.uint64(0) - tvp[..., N:]
+    p1 = TORUS_DTYPE(0) - tvp[..., N:]
     muxed = public_mux(p0, p1, sel_v, l, Bg_bit, k, N, bk.primes)
     return functional_bootstrap(muxed, c, bk, torus_base // 2)
 
@@ -591,7 +591,7 @@ def fdfb_clot21(tv0: TRLWE, tv1: TRLWE, c: TLWE, bk: BootstrapKey, ksk, rlk,
     from . import tlwe as _tlwe
     from .product import tlwe_mul
     N, k = bk.N, bk.k
-    sign = jnp.uint64(1 << (TORUS_BITS - precision - 1))
+    sign = TORUS_DTYPE(1 << (TORUS_BITS - precision - 1))
     tv_sign = _trlwe.torus_packing(jnp.array([sign], TORUS_DTYPE), k, N)
     tb = 1 << (precision - 1)
     ct_f0 = functional_bootstrap(tv0, c, bk, tb)
@@ -613,7 +613,7 @@ def fdfb_clot21_2(tv_values, c: TLWE, bk: BootstrapKey, ksk, rlk,
     N, k = bk.N, bk.k
     torus_base = 1 << (precision - 2)
     slot = N // (4 * torus_base)
-    sign = jnp.uint64(1 << (TORUS_BITS - precision - 1))
+    sign = TORUS_DTYPE(1 << (TORUS_BITS - precision - 1))
     lut = jnp.concatenate([
         jnp.asarray(tv_values, TORUS_DTYPE),
         jnp.full((torus_base,), sign, TORUS_DTYPE),
@@ -637,8 +637,9 @@ def fdfb_this_work(tv: TRLWE, c: TLWE, bk: BootstrapKey, tlwe_ksk,
     bootstrap (`full_domain_functional_bootstrap`, `bootstrap.c:519-538`)."""
     from . import tlwe as _tlwe
     N, k = bk.N, bk.k
-    sign = jnp.uint64(((1 << (TORUS_BITS - 2))
-                       - (1 << (TORUS_BITS - precision - 2))) & ((1 << 64) - 1))
+    sign = TORUS_DTYPE(((1 << (TORUS_BITS - 2))
+                        - (1 << (TORUS_BITS - precision - 2)))
+                       & ((1 << TORUS_BITS) - 1))
     tv_sign = _trlwe.torus_packing(jnp.array([sign], TORUS_DTYPE), k, N)
     ct_sign = functional_bootstrap(tv_sign, c, bk, 1 << (precision - 1))
     ct_sign = TLWE(a=ct_sign.a, b=ct_sign.b - sign)

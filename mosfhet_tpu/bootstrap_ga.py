@@ -6,6 +6,14 @@ The rotation exponents become automorphism generators, which are
 key-switching key by dynamic gather from the stacked all-odd keyset, and the
 Galois permutation itself is a dynamic gather with a precomputed
 inverse-mod-2N table (`misc.c:142-159`).
+
+Parameter envelope (inherited from the reference's forced-all-odd variant,
+`bootstrap_ga.c:37`): rounding every mask coefficient to an odd multiple of
+1/2N biases the accumulated rotation by ~n/4 slots, so correct decryption
+requires roughly n < 2N / torus_base (satisfied by the reference defaults:
+n=632, N=2048, torus_base=4).  Outside that envelope the reference fails
+the same way ("It is expected for many of the tests to fail depending on
+the parameters", reference README:83).
 """
 
 from __future__ import annotations
@@ -98,11 +106,11 @@ def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey) -> GABootstrapKey:
         idx[gi] = np.where(neg[gi], ic - N, ic)
     s_t = tk.s.astype(TORUS_DTYPE)                       # [k, N]
     g_s = jnp.take(s_t, jnp.asarray(idx), axis=-1)       # [k, G, N]
-    g_s = jnp.where(jnp.asarray(neg), jnp.uint64(0) - g_s, g_s)
+    g_s = jnp.where(jnp.asarray(neg), TORUS_DTYPE(0) - g_s, g_s)
     g_s = jnp.moveaxis(g_s, 0, 1)                        # [G, k, N]
-    shifts = (jnp.uint64(1) << jnp.array(
+    shifts = (TORUS_DTYPE(1) << jnp.array(
         [TORUS_BITS - (j2 + 1) * base_bit for j2 in range(t)],
-        dtype=jnp.uint64))
+        dtype=TORUS_DTYPE))
     ms = g_s[:, :, None, :] * shifts[None, None, :, None]  # [G, k, t, N]
     ms = ms.reshape(N, tk.k * t, N)
 
@@ -140,7 +148,7 @@ def _permute_dyn(x, gen, inv2n, N: int):
     shape = jnp.broadcast_shapes(x.shape, idx.shape)
     g = jnp.take_along_axis(jnp.broadcast_to(x, shape),
                             jnp.broadcast_to(idx, shape), axis=-1)
-    return jnp.where(jnp.broadcast_to(neg, shape), jnp.uint64(0) - g, g)
+    return jnp.where(jnp.broadcast_to(neg, shape), TORUS_DTYPE(0) - g, g)
 
 
 def _eval_auto_dyn(acc_st, gen, bk: GABootstrapKey):

@@ -73,10 +73,10 @@ def new_trlwe_ks_key(rkey, out_key: TRLWEKey, in_key: TRLWEKey, t: int,
     N = out_key.N
     plan = _ks_plan(N, base_bit, t, in_key.k * t)
     shifts = jnp.array([TORUS_BITS - (j + 1) * base_bit for j in range(t)],
-                       dtype=jnp.uint64)
+                       dtype=TORUS_DTYPE)
     # ms[i, j, :] = s_in[i] * 2^shift_j
     ms = in_key.s.astype(TORUS_DTYPE)[:, None, :] * \
-        (jnp.uint64(1) << shifts)[None, :, None]
+        (TORUS_DTYPE(1) << shifts)[None, :, None]
     v, vs = _encrypt_batch_to_dft(ms, out_key, rkey, plan)
     return TRLWEKSKey(v=v, vs=vs, t=t, base_bit=base_bit, primes=plan.primes)
 
@@ -137,7 +137,7 @@ def new_priv_ks_key_pair(rkey, out_key: TRLWEKey, in_key: TRLWEKey, t: int,
 def priv_keyswitch_2(c: TRLWE, ks_pair) -> TRLWE:
     """(`trlwe_priv_keyswitch_2`, `keyswitch.c:52-63`)."""
     assert c.k == 1
-    neg_b = TRLWE(a=(jnp.uint64(0) - c.b)[..., None, :],
+    neg_b = TRLWE(a=(TORUS_DTYPE(0) - c.b)[..., None, :],
                   b=jnp.zeros_like(c.b))
     tmp = trlwe_keyswitch(neg_b, ks_pair[1])
     ca = TRLWE(a=c.a, b=jnp.zeros_like(c.b))
@@ -153,8 +153,8 @@ def new_rlwe_priv_ks_key(rkey, out_key: TRLWEKey, in_key: TRLWEKey, v,
     N = out_key.N
     plan = _ks_plan(N, base_bit, t, (in_key.k + 1) * t)
     v = jnp.asarray(v, TORUS_DTYPE)
-    shifts = (jnp.uint64(1) << jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64))
+    shifts = (TORUS_DTYPE(1) << jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=TORUS_DTYPE))
     sv = jnp.stack([
         _poly.ntt_mul_small(in_key.s[i], v, in_key.plan())
         for i in range(in_key.k)
@@ -201,8 +201,8 @@ def new_full_packing_ks_key(rkey, out_key: TRLWEKey, in_key: TLWEKey, t: int,
                             base_bit: int) -> FullPackingKSKey:
     N = out_key.N
     plan = _ks_plan(N, base_bit, t, in_key.n * t)  # wide: sum over n*t rows
-    shifts = (jnp.uint64(1) << jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64))
+    shifts = (TORUS_DTYPE(1) << jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=TORUS_DTYPE))
     const = in_key.s.astype(TORUS_DTYPE)[:, None] * shifts[None, :]  # [n, t]
     ms = jnp.zeros((in_key.n, t, N), TORUS_DTYPE).at[:, :, 0].set(const)
     v, vs = _encrypt_batch_to_dft(ms, out_key, rkey, plan)
@@ -282,9 +282,9 @@ def _zero_trlwe_table(rkey, out_key: TRLWEKey, shape):
 def _dec_key_values(in_s, t: int, base_bit: int):
     """dec[i, j, v] = s_i * (v+1) * 2^(64-(j+1)*base_bit)."""
     base = 1 << base_bit
-    shifts = (jnp.uint64(1) << jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64))
-    vals = jnp.arange(1, base, dtype=jnp.uint64)
+    shifts = (TORUS_DTYPE(1) << jnp.array(
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=TORUS_DTYPE))
+    vals = jnp.arange(1, base, dtype=TORUS_DTYPE)
     return (in_s.astype(TORUS_DTYPE)[:, None, None] * vals[None, None, :]
             * shifts[None, :, None])
 
@@ -311,7 +311,7 @@ def new_priv_sk_ks_key(rkey, out_key: TRLWEKey, in_key: TLWEKey, t: int,
     tab = _zero_trlwe_table(rkey, out_key,
                             (n + 1, t, (1 << base_bit) - 1))
     dec = _dec_key_values(s_ext, t, base_bit)            # [n+1, t, base-1]
-    minus_s = (jnp.uint64(0) - out_key.s[0].astype(TORUS_DTYPE))  # [N]
+    minus_s = (TORUS_DTYPE(0) - out_key.s[0].astype(TORUS_DTYPE))  # [N]
     tab = tab.at[..., -1, :].add(dec[..., None] * minus_s)
     return GenericKSKey(table=tab, t=t, base_bit=base_bit, include_b=True)
 
@@ -342,10 +342,10 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
     Returns [..., k+1, N]."""
     R = table.shape[0]
     base_m1 = table.shape[2]
-    prec_offset = jnp.uint64(1 << (TORUS_BITS - (1 + base_bit * t)))
-    mask = jnp.uint64((1 << base_bit) - 1)
+    prec_offset = TORUS_DTYPE(1 << (TORUS_BITS - (1 + base_bit * t)))
+    mask = TORUS_DTYPE((1 << base_bit) - 1)
     shifts = jnp.array([TORUS_BITS - (j + 1) * base_bit for j in range(t)],
-                       dtype=jnp.uint64)
+                       dtype=TORUS_DTYPE)
     dig = ((a_vals + prec_offset)[..., None] >> shifts) & mask  # [..., R, t]
 
     flat_tab = table.reshape(R * t * base_m1, table.shape[-2], table.shape[-1])
@@ -374,7 +374,7 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
         nz = d != 0
         flat = pos + jnp.maximum(d.astype(jnp.int32) - 1, 0)
         g = jnp.take(tb, flat, axis=0)                 # [..., chunk, t, k+1, N]
-        g = jnp.where(nz[..., None, None], g, jnp.uint64(0))
+        g = jnp.where(nz[..., None, None], g, TORUS_DTYPE(0))
         return acc + jnp.sum(g, axis=(-4, -3), dtype=TORUS_DTYPE), None
 
     init = jnp.zeros(a_vals.shape[:-1] + table.shape[-2:], TORUS_DTYPE)
@@ -385,7 +385,7 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
 def packing1_keyswitch(c: TLWE, ksk: GenericKSKey) -> TRLWE:
     """(`trlwe_packing1_keyswitch`, `keyswitch.c:458-475`)."""
     sub = _gather_subtract(ksk.table, c.a, ksk.t, ksk.base_bit)
-    out = from_stacked(jnp.uint64(0) - sub)
+    out = from_stacked(TORUS_DTYPE(0) - sub)
     b = out.b.at[..., 0].add(c.b)
     return TRLWE(a=out.a, b=b)
 
@@ -395,7 +395,7 @@ def priv_keyswitch(c: TLWE, ksk: GenericKSKey) -> TRLWE:
     assert ksk.include_b
     av = jnp.concatenate([c.a, c.b[..., None]], axis=-1)
     sub = _gather_subtract(ksk.table, av, ksk.t, ksk.base_bit)
-    return from_stacked(jnp.uint64(0) - sub)
+    return from_stacked(TORUS_DTYPE(0) - sub)
 
 
 def lut_packing_keyswitch(cs: TLWE, ksk: LUTPackingKSKey) -> TRLWE:
@@ -408,7 +408,7 @@ def lut_packing_keyswitch(cs: TLWE, ksk: LUTPackingKSKey) -> TRLWE:
     # a_vals[(i, e)] = cs.a[e, i] — note e-major per i
     a_vals = jnp.swapaxes(cs.a, -1, -2).reshape(cs.a.shape[:-2] + (n * tb,))
     sub = _gather_subtract(table, a_vals, ksk.t, ksk.base_bit)
-    out = from_stacked(jnp.uint64(0) - sub)
+    out = from_stacked(TORUS_DTYPE(0) - sub)
     N = out.N
     slot = N // tb
     b_rep = jnp.repeat(cs.b, slot, axis=-1)            # [..., N]
@@ -490,7 +490,7 @@ def new_gadget_to_rgsw_keys(rkey, key: TRLWEKey, t: int, base_bit: int):
     (`trlwe_new_gadget_to_RGSW_KS`)."""
     out = []
     for i in range(key.k):
-        v = (jnp.uint64(0) - key.s[i].astype(TORUS_DTYPE))
+        v = (TORUS_DTYPE(0) - key.s[i].astype(TORUS_DTYPE))
         out.append(new_rlwe_priv_ks_key(
             jax.random.fold_in(rkey, i), key, key, v, t, base_bit))
     return out

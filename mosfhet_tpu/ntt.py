@@ -71,8 +71,10 @@ def primes_for_bound(bound: int):
 
 def conv_bound(N: int, max_abs_digit: int, j_terms: int) -> int:
     """Magnitude bound for sum_{j<J} digit_poly_j (*) torus_poly_j with
-    |digits| <= max_abs_digit and centered torus coefficients <= 2^63."""
-    return N * max_abs_digit * (1 << 63) * j_terms
+    |digits| <= max_abs_digit and centered torus coefficients <=
+    2^(TORUS_BITS-1)."""
+    from .torus import TORUS_BITS
+    return N * max_abs_digit * (1 << (TORUS_BITS - 1)) * j_terms
 
 _U64 = jnp.uint64
 
@@ -251,12 +253,13 @@ def barrett_small(z, p, mu):
 def to_resi_u64(x, plan: NTTPlan):
     """u64 torus coefficients [..., N] -> residues [..., P, N].
 
-    Coefficients are centered to their signed representatives in
-    (-2^63, 2^63] first (a two's-complement reinterpret); this halves the
-    integer magnitude bound of downstream convolutions, and the final
-    `mod 2^64` readback is unaffected (representatives differ by multiples
-    of 2^64).  Cold path (u64 remainder)."""
-    return to_resi_i64(jnp.asarray(x, jnp.uint64).astype(jnp.int64), plan)
+    Coefficients are centered to their signed representatives first (a
+    two's-complement reinterpret); this halves the integer magnitude bound
+    of downstream convolutions, and the final `mod 2^TB` readback is
+    unaffected (representatives differ by multiples of 2^TB).  Cold path
+    (u64 remainder).  Width-generic: u32 torus inputs center via int32."""
+    from .torus import SIGNED_DTYPE, TORUS_DTYPE
+    return to_resi_i64(jnp.asarray(x, TORUS_DTYPE).astype(SIGNED_DTYPE), plan)
 
 
 def to_resi_u64_raw(x, plan: NTTPlan):
@@ -428,8 +431,12 @@ def garner_shifted_u64(r, plan: NTTPlan, bit_scale: int):
 
 
 def from_ntt_u64(x, plan: NTTPlan):
-    """[..., P, N] NTT-domain -> exact u64 coefficients [..., N]."""
-    return garner_u64(inverse_ntt(x, plan), plan)
+    """[..., P, N] NTT-domain -> exact torus coefficients [..., N].
+
+    Returns TORUS_DTYPE; the Garner value is exact mod 2^64 and its
+    truncation to 32 bits is exact mod 2^32 under TORUS32."""
+    from .torus import TORUS_DTYPE
+    return garner_u64(inverse_ntt(x, plan), plan).astype(TORUS_DTYPE)
 
 
 def to_ntt_u64(x, plan: NTTPlan):

@@ -71,7 +71,7 @@ def naive_negacyclic_mul(a, b):
     i = jnp.arange(N)[:, None]   # input index of b
     j = jnp.arange(N)[None, :]   # output index
     d = j - i
-    sign = jnp.where(d < 0, jnp.uint64(0) - jnp.uint64(1), jnp.uint64(1))
+    sign = jnp.where(d < 0, TORUS_DTYPE(0) - TORUS_DTYPE(1), TORUS_DTYPE(1))
     idx = d % N
     # M[..., i, j] = sign(i,j) * a[..., (j-i) mod N]
     M = jnp.take(a, idx, axis=-1) * sign
@@ -133,7 +133,7 @@ def full_mul_with_scale(a, b, bit_scale: int, plan=None):
     fa = _ntt.forward_ntt(_ntt.to_resi_u64_raw(jnp.asarray(a, TORUS_DTYPE), plan), plan)
     fb = _ntt.forward_ntt(_ntt.to_resi_u64_raw(jnp.asarray(b, TORUS_DTYPE), plan), plan)
     r = _ntt.inverse_ntt(_ntt.pointwise_mul(fa, fb, plan), plan)
-    return _ntt.garner_shifted_u64(r, plan, bit_scale)
+    return _ntt.garner_shifted_u64(r, plan, bit_scale).astype(TORUS_DTYPE)
 
 
 def torus_scale_round(x, log_scale: int):

@@ -16,7 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from .torus import TORUS_DTYPE
+from .torus import TORUS_BITS, TORUS_DTYPE
 
 
 def new_seed() -> jax.Array:
@@ -26,22 +26,24 @@ def new_seed() -> jax.Array:
 
 
 def uniform_torus(key, shape=()):
-    """Uniform torus elements (u64), reference `generate_random_bytes`
+    """Uniform torus elements, reference `generate_random_bytes`
     filling Torus arrays (`misc.c:58-82`)."""
+    if TORUS_BITS == 32:
+        return jax.random.bits(key, shape, dtype=jnp.uint32)
     hi = jax.random.bits(key, shape, dtype=jnp.uint32).astype(jnp.uint64)
     lo = jax.random.bits(jax.random.fold_in(key, 1), shape, dtype=jnp.uint32)
     return (hi << jnp.uint64(32)) | lo.astype(jnp.uint64)
 
 
 def normal_torus(key, sigma: float, shape=()):
-    """Gaussian noise on the torus: round(N(0, sigma) * 2^64) mod 2^64.
+    """Gaussian noise on the torus: round(N(0, sigma) * 2^TB) mod 2^TB.
 
     Mirrors `generate_torus_normal_random_array` (`misc.c:87-97`).  Sampled
-    in float32 — quantization error (sigma * 2^-24) is far below sigma and
-    below the 2^-64 torus resolution for every registry sigma.
+    in float32 — quantization error (sigma * 2^-24) is far below sigma for
+    every registry sigma.
     """
     e = jax.random.normal(key, shape, dtype=jnp.float32)
-    scaled = e * jnp.float32(sigma * 18446744073709551616.0)
+    scaled = e * jnp.float32(sigma * float(1 << TORUS_BITS))
     return scaled.astype(jnp.int64).astype(TORUS_DTYPE)
 
 

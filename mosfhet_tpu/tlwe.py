@@ -78,7 +78,7 @@ def sub(c1: TLWE, c2: TLWE) -> TLWE:
 
 
 def neg(c: TLWE) -> TLWE:
-    return TLWE(a=jnp.uint64(0) - c.a, b=jnp.uint64(0) - c.b)
+    return TLWE(a=TORUS_DTYPE(0) - c.a, b=TORUS_DTYPE(0) - c.b)
 
 
 def scale(c: TLWE, w) -> TLWE:
@@ -104,9 +104,10 @@ def new_ks_key(key, out_key: TLWEKey, in_key: TLWEKey, t: int,
     base = 1 << base_bit
     n_in = in_key.n
     shifts = jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)],
+        dtype=TORUS_DTYPE
     )
-    vals = jnp.arange(1, base, dtype=jnp.uint64)
+    vals = jnp.arange(1, base, dtype=TORUS_DTYPE)
     # m[i, j, v] = s_in[i] * (v+1) << shift_j
     m = (in_key.s.astype(TORUS_DTYPE)[:, None, None]
          * vals[None, None, :]) << shifts[None, :, None]
@@ -129,7 +130,7 @@ class TLWEKSKeyM:
 def new_ks_key_no_precomp(key, out_key: TLWEKey, in_key: TLWEKey, t: int,
                           base_bit: int) -> TLWEKSKeyM:
     shifts = jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=TORUS_DTYPE
     )
     m = in_key.s.astype(TORUS_DTYPE)[:, None] << shifts[None, :]
     c = encrypt(m, out_key, key)
@@ -141,11 +142,11 @@ def keyswitch_no_precomp(c: TLWE, ksk: TLWEKSKeyM) -> TLWE:
     half-bit the reference adds in this variant
     (`tlwe_keyswitch_no_precomp`, `tlwe.c:305-320`)."""
     t, base_bit = ksk.t, ksk.base_bit
-    prec_offset = jnp.uint64(1 << (TORUS_BITS - (1 + base_bit * t)))
-    offset = jnp.uint64(1 << (TORUS_BITS - base_bit * t - 1))
-    mask = jnp.uint64((1 << base_bit) - 1)
+    prec_offset = TORUS_DTYPE(1 << (TORUS_BITS - (1 + base_bit * t)))
+    offset = TORUS_DTYPE(1 << (TORUS_BITS - base_bit * t - 1))
+    mask = TORUS_DTYPE((1 << base_bit) - 1)
     shifts = jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=TORUS_DTYPE
     )
     ai = c.a + prec_offset + offset                        # [..., n_in]
     dig = (ai[..., None] >> shifts) & mask                 # [..., n_in, t]
@@ -172,7 +173,7 @@ def keyswitch_no_precomp(c: TLWE, ksk: TLWEKSKeyM) -> TLWE:
 
     init = jnp.zeros(c.b.shape + (ksk.a.shape[-1],), TORUS_DTYPE)
     sa, _ = jax.lax.scan(body, init, (dig_s, ka_s))
-    return TLWE(a=jnp.uint64(0) - sa, b=c.b - sb)
+    return TLWE(a=TORUS_DTYPE(0) - sa, b=c.b - sb)
 
 
 @flax.struct.dataclass
@@ -197,10 +198,11 @@ def prepare_ks_key_mxu(ksk: TLWEKSKeyM) -> TLWEKSKeyPrepared:
     K = ksk.a.shape[0] * ksk.a.shape[1]
     a = ksk.a.reshape(K, -1)
     b = ksk.b.reshape(K)
-    shifts = jnp.arange(16, dtype=jnp.uint64) * jnp.uint64(4)
-    a_nib = ((a[None] >> shifts[:, None, None]) & jnp.uint64(0xF)
+    nl = TORUS_BITS // 4
+    shifts = jnp.arange(nl, dtype=TORUS_DTYPE) * TORUS_DTYPE(4)
+    a_nib = ((a[None] >> shifts[:, None, None]) & TORUS_DTYPE(0xF)
              ).astype(jnp.int8)
-    b_nib = ((b[None] >> shifts[:, None]) & jnp.uint64(0xF)).astype(jnp.int8)
+    b_nib = ((b[None] >> shifts[:, None]) & TORUS_DTYPE(0xF)).astype(jnp.int8)
     return TLWEKSKeyPrepared(a_nib=a_nib, b_nib=b_nib, t=ksk.t,
                              base_bit=ksk.base_bit)
 
@@ -208,11 +210,11 @@ def prepare_ks_key_mxu(ksk: TLWEKSKeyM) -> TLWEKSKeyPrepared:
 def keyswitch_mxu(c: TLWE, ksk: TLWEKSKeyPrepared) -> TLWE:
     """`keyswitch_no_precomp` on the MXU — bit-identical result."""
     t, base_bit = ksk.t, ksk.base_bit
-    prec_offset = jnp.uint64(1 << (TORUS_BITS - (1 + base_bit * t)))
-    offset = jnp.uint64(1 << (TORUS_BITS - base_bit * t - 1))
-    mask = jnp.uint64((1 << base_bit) - 1)
+    prec_offset = TORUS_DTYPE(1 << (TORUS_BITS - (1 + base_bit * t)))
+    offset = TORUS_DTYPE(1 << (TORUS_BITS - base_bit * t - 1))
+    mask = TORUS_DTYPE((1 << base_bit) - 1)
     shifts = jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=TORUS_DTYPE
     )
     ai = c.a + prec_offset + offset
     dig = ((ai[..., None] >> shifts) & mask).astype(jnp.int8)
@@ -225,11 +227,12 @@ def keyswitch_mxu(c: TLWE, ksk: TLWEKSKeyPrepared) -> TLWE:
     pb = jax.lax.dot_general(
         D, ksk.b_nib, (((D.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)                 # [..., 16]
-    w = jnp.arange(16, dtype=jnp.uint64) * jnp.uint64(4)
-    sa = jnp.sum(pa.astype(jnp.uint64) << w[:, None], axis=-2,
+    nl = TORUS_BITS // 4
+    w = jnp.arange(nl, dtype=TORUS_DTYPE) * TORUS_DTYPE(4)
+    sa = jnp.sum(pa.astype(TORUS_DTYPE) << w[:, None], axis=-2,
                  dtype=TORUS_DTYPE)
-    sb = jnp.sum(pb.astype(jnp.uint64) << w, axis=-1, dtype=TORUS_DTYPE)
-    return TLWE(a=jnp.uint64(0) - sa, b=c.b - sb)
+    sb = jnp.sum(pb.astype(TORUS_DTYPE) << w, axis=-1, dtype=TORUS_DTYPE)
+    return TLWE(a=TORUS_DTYPE(0) - sa, b=c.b - sb)
 
 
 def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
@@ -243,10 +246,10 @@ def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
     n_out = ksk.a.shape[-1]
     batch = c.b.shape
 
-    prec_offset = jnp.uint64(1 << (TORUS_BITS - (1 + base_bit * t)))
-    mask = jnp.uint64((1 << base_bit) - 1)
+    prec_offset = TORUS_DTYPE(1 << (TORUS_BITS - (1 + base_bit * t)))
+    mask = TORUS_DTYPE((1 << base_bit) - 1)
     shifts = jnp.array(
-        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=jnp.uint64
+        [TORUS_BITS - (j + 1) * base_bit for j in range(t)], dtype=TORUS_DTYPE
     )
     ai = c.a + prec_offset                                  # [..., n_in]
     dig = (ai[..., None] >> shifts) & mask                  # [..., n_in, t]
@@ -283,8 +286,8 @@ def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
         flat = pos + jnp.maximum(d.astype(jnp.int32) - 1, 0)
         ga = jnp.take(ka, flat, axis=0)                     # [..., chunk, t, n_out]
         gb = jnp.take(kb, flat, axis=0)                     # [..., chunk, t]
-        za = jnp.where(nz[..., None], ga, jnp.uint64(0))
-        zb = jnp.where(nz, gb, jnp.uint64(0))
+        za = jnp.where(nz[..., None], ga, TORUS_DTYPE(0))
+        zb = jnp.where(nz, gb, TORUS_DTYPE(0))
         acc_a, acc_b = acc
         return (acc_a + jnp.sum(za, axis=(-3, -2), dtype=TORUS_DTYPE),
                 acc_b + jnp.sum(zb, axis=(-2, -1), dtype=TORUS_DTYPE)), None
@@ -292,4 +295,4 @@ def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
     init = (jnp.zeros(batch + (n_out,), TORUS_DTYPE),
             jnp.zeros(batch, TORUS_DTYPE))
     (sa, sb), _ = jax.lax.scan(body, init, (dig_s, ks_a, ks_b))
-    return TLWE(a=jnp.uint64(0) - sa, b=c.b - sb)
+    return TLWE(a=TORUS_DTYPE(0) - sa, b=c.b - sb)

@@ -1,52 +1,67 @@
 """Discretized-torus scalar helpers and gadget decomposition.
 
-The torus T = R/Z is represented as uint64 (value x means x/2^64), matching
-the reference (`include/mosfhet.h:23-28`).  All arithmetic is exact
-wraparound u64; helpers mirror `src/misc.c:9-28`.
+The torus T = R/Z is represented as an unsigned integer (value x means
+x / 2^TORUS_BITS), matching the reference (`include/mosfhet.h:23-28`).
+Like the reference's compile-time `-DTORUS32` flag (`Makefile.def:47-50`),
+the torus width is selected at import time: set ``MOSFHET_TORUS_BITS=32``
+in the environment for the u32 torus (default 64).  All arithmetic is
+exact wraparound; helpers mirror `src/misc.c:9-28`.
+
+The fused Pallas kernel currently implements the 64-bit torus only; under
+TORUS32 the bootstrap runs the (equally exact) portable jnp path.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
-TORUS_DTYPE = jnp.uint64
-TORUS_BITS = 64
+TORUS_BITS = int(os.environ.get("MOSFHET_TORUS_BITS", "64"))
+assert TORUS_BITS in (32, 64), "MOSFHET_TORUS_BITS must be 32 or 64"
+TORUS_DTYPE = jnp.uint64 if TORUS_BITS == 64 else jnp.uint32
+SIGNED_DTYPE = jnp.int64 if TORUS_BITS == 64 else jnp.int32
+_SCALE = float(1 << TORUS_BITS)
+TORUS_MASK = (1 << TORUS_BITS) - 1
 
 
-def _u64(x):
+def _ut(x):
     return jnp.asarray(x, dtype=TORUS_DTYPE)
 
 
 def torus2double(x):
-    """uint64 torus -> float64 in [0, 1).  (`misc.c:9-11`)."""
-    return jnp.asarray(x, jnp.uint64).astype(jnp.float64) / 18446744073709551616.0
+    """torus -> float64 in [0, 1).  (`misc.c:9-11`)."""
+    return _ut(x).astype(jnp.float64) / _SCALE
 
 
 def double2torus(x):
-    """float64 -> torus: round(frac(x) * 2^64) via a hi/lo split.
+    """float64 -> torus: round(frac(x) * 2^TORUS_BITS) via a hi/lo split.
 
-    The reference's `(Torus)(int64_t)(x * 2^64)` (`misc.c:13-15`) is UB at
+    The reference's `(Torus)(int64_t)(x * 2^bits)` (`misc.c:13-15`) is UB at
     |x| >= 0.5 and saturates under XLA's cast; the split below is
     well-defined for all x and agrees with the C semantics wherever the C
     semantics are defined (the double's precision limits any difference to
     one torus ulp)."""
     x = jnp.asarray(x, jnp.float64)
     frac = x - jnp.floor(x)  # [0, 1)
+    if TORUS_BITS == 32:
+        return jnp.floor(frac * _SCALE).astype(jnp.int64).astype(TORUS_DTYPE)
     hi = jnp.floor(frac * 4294967296.0)
     lo = (frac * 4294967296.0 - hi) * 4294967296.0
-    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    return ((hi.astype(jnp.uint64) << jnp.uint64(32))
+            | lo.astype(jnp.uint64))
 
 
 def torus2int(x, log_scale: int):
     """round(x * 2^log_scale) as integer (`misc.c:18-22`)."""
-    x = _u64(x)
-    round_offset = jnp.uint64(1 << (TORUS_BITS - log_scale - 1))
-    return (x + round_offset) >> jnp.uint64(TORUS_BITS - log_scale)
+    x = _ut(x)
+    round_offset = TORUS_DTYPE(1 << (TORUS_BITS - log_scale - 1))
+    return (x + round_offset) >> TORUS_DTYPE(TORUS_BITS - log_scale)
 
 
 def int2torus(x, log_scale: int):
     """integer -> torus multiple of 2^-log_scale (`misc.c:25-28`)."""
-    return _u64(x) << jnp.uint64(TORUS_BITS - log_scale)
+    return _ut(x) << TORUS_DTYPE(TORUS_BITS - log_scale)
 
 
 def gadget_offset(Bg_bit: int, l: int, rounded: bool = True) -> int:
@@ -61,22 +76,22 @@ def gadget_offset(Bg_bit: int, l: int, rounded: bool = True) -> int:
         offset += 1 << (TORUS_BITS - i * Bg_bit - 1)
     if rounded:
         offset += 1 << (TORUS_BITS - l * Bg_bit - 1)
-    return offset & ((1 << 64) - 1)
+    return offset & TORUS_MASK
 
 
 def gadget_decompose(x, Bg_bit: int, l: int, rounded: bool = True):
-    """Signed gadget decomposition of torus array ``x`` ([..., N] u64).
+    """Signed gadget decomposition of torus array ``x`` ([..., N]).
 
     Returns int32 digits of shape [..., l, N] with values in
-    [-Bg/2, Bg/2) such that  x ≈ sum_i digits[i] * 2^(64-(i+1)*Bg_bit)
+    [-Bg/2, Bg/2) such that  x ≈ sum_i digits[i] * 2^(TB-(i+1)*Bg_bit)
     (`polynomial.c:55-89`).  Digit axis is inserted before the last axis.
     """
-    x = _u64(x)
-    offset = jnp.uint64(gadget_offset(Bg_bit, l, rounded))
+    x = _ut(x)
+    offset = TORUS_DTYPE(gadget_offset(Bg_bit, l, rounded))
     half_Bg = 1 << (Bg_bit - 1)
-    mask = jnp.uint64((1 << Bg_bit) - 1)
+    mask = TORUS_DTYPE((1 << Bg_bit) - 1)
     shifts = jnp.array(
-        [TORUS_BITS - (i + 1) * Bg_bit for i in range(l)], dtype=jnp.uint64
+        [TORUS_BITS - (i + 1) * Bg_bit for i in range(l)], dtype=TORUS_DTYPE
     )
     # [..., l, N]
     shifted = (x + offset)[..., None, :] >> shifts[:, None]
@@ -85,13 +100,13 @@ def gadget_decompose(x, Bg_bit: int, l: int, rounded: bool = True):
 
 
 def gadget_recompose(digits, Bg_bit: int):
-    """Inverse-ish of decompose: sum_i d_i * 2^(64-(i+1)Bg_bit) mod 2^64.
+    """Inverse-ish of decompose: sum_i d_i * 2^(TB-(i+1)Bg_bit) mod 2^TB.
 
     Test helper (digits [..., l, N] signed)."""
     l = digits.shape[-2]
     weights = jnp.array(
         [1 << (TORUS_BITS - (i + 1) * Bg_bit) for i in range(l)],
-        dtype=jnp.uint64,
+        dtype=TORUS_DTYPE,
     )
-    d = digits.astype(jnp.int64).astype(jnp.uint64)
-    return jnp.sum(d * weights[:, None], axis=-2, dtype=jnp.uint64)
+    d = digits.astype(jnp.int64).astype(TORUS_DTYPE)
+    return jnp.sum(d * weights[:, None], axis=-2, dtype=TORUS_DTYPE)

@@ -90,7 +90,7 @@ class TRGSWDFT:
 def _gadget_values(l: int, Bg_bit: int):
     return jnp.array(
         [1 << (TORUS_BITS - (i + 1) * Bg_bit) for i in range(l)],
-        dtype=jnp.uint64,
+        dtype=TORUS_DTYPE,
     )
 
 

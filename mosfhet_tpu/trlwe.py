@@ -231,7 +231,7 @@ def sub(c1: TRLWE, c2: TRLWE) -> TRLWE:
 
 
 def neg(c: TRLWE) -> TRLWE:
-    return TRLWE(a=jnp.uint64(0) - c.a, b=jnp.uint64(0) - c.b)
+    return TRLWE(a=TORUS_DTYPE(0) - c.a, b=TORUS_DTYPE(0) - c.b)
 
 
 def scale(c: TRLWE, w) -> TRLWE:
@@ -273,7 +273,7 @@ def extract_tlwe(c: TRLWE, idx: int = 0) -> TLWE:
     src = np.where(j <= idx, idx - j, N + idx - j)
     sign_neg = j > idx
     g = jnp.take(c.a, jnp.asarray(src), axis=-1)        # [..., k, N]
-    g = jnp.where(jnp.asarray(sign_neg), jnp.uint64(0) - g, g)
+    g = jnp.where(jnp.asarray(sign_neg), TORUS_DTYPE(0) - g, g)
     a = g.reshape(g.shape[:-2] + (k * N,))
     return TLWE(a=a, b=c.b[..., idx])
 
