@@ -565,6 +565,8 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
             pltpu.VMEM((C, P, bt, N), _U32),
         ],
         input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(acc_tiles, a_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws)
 
