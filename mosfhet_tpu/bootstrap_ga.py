@@ -171,13 +171,20 @@ def _eval_auto_dyn(acc_st, gen, bk: GABootstrapKey):
     return out - as_
 
 
-def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey) -> TRLWE:
+def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
+                    impl: str = "auto") -> TRLWE:
     """(`blind_rotate_ga`, `bootstrap_ga.c:39-60`), batched.
 
     acc = psi_{w_0}(tv);  per step: acc = psi_{a_i * w_{i+1}}(BK_i (x) acc);
     final: tv = psi_{a_{n-1}}(BK_{n-1} (x) acc).
+
+    On TPU the per-step external product runs as the fused Pallas kernel
+    (`ops/pbs_kernel.cmux_delta` on the accumulator itself — the same
+    decompose->NTT->mul-acc->CRT program, without the rotation stage); the
+    data-dependent automorphism keyswitch stays in XLA.
     """
-    plan = bk.plan()
+    from . import bootstrap as _bs
+    from .torus import TORUS_BITS
     N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
     log_N2 = int(math.log2(2 * N))
     mod_mask = 2 * N - 1
@@ -185,15 +192,51 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey) -> TRLWE:
              .astype(jnp.int32) | 1)                       # [..., n] odd
     w = jnp.take(bk.inv2n, (a_int - 1) >> 1, axis=0)       # inverses
 
+    class _FakeBK:                                         # eligibility probe
+        pass
+    _f = _FakeBK()
+    _f.N, _f.primes = N, bk.primes
+    if impl == "auto":
+        impl = ("pallas" if TORUS_BITS == 64 and _bs._pallas_eligible(_f)
+                else "jnp")
+
+    batch = a_int.shape[:-1]
     acc = _eval_auto_dyn(tv.stacked(), w[..., 0], bk)
 
-    def ext_prod(acc_st, gv, gvs):
-        digits = gadget_decompose(acc_st, Bg_bit, l)
-        digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
-        spec = _ntt.to_ntt_small(digits, plan)
-        r = _ntt.pointwise_mul_acc_key(
-            spec[..., :, None, :, :], gv, gvs, plan, axis=-4)
-        return _ntt.from_ntt_u64(r, plan)
+    if impl == "pallas":
+        from .ops import pbs_kernel as _pk
+        kp = _pk.get_kernel_plan(N, bk.primes, l, Bg_bit, k)
+        B = 1
+        for d in batch:
+            B *= d
+        pad = (-B) % kp.bt
+        sv32 = bk.s_v.astype(jnp.uint32)
+        svs32 = bk.s_vs.astype(jnp.uint32)
+
+        def ext_prod(acc_st, gv, gvs):
+            x = jnp.broadcast_to(acc_st, batch + (k + 1, N)
+                                 ).reshape(B, k + 1, N)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, k + 1, N), TORUS_DTYPE)], axis=0)
+            r = _pk.cmux_delta(x, gv, gvs, kp)
+            if pad:
+                r = r[:B]
+            return r.reshape(batch + (k + 1, N))
+
+        sv_scan, svs_scan = sv32, svs32
+    else:
+        plan = bk.plan()
+
+        def ext_prod(acc_st, gv, gvs):
+            digits = gadget_decompose(acc_st, Bg_bit, l)
+            digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
+            spec = _ntt.to_ntt_small(digits, plan)
+            r = _ntt.pointwise_mul_acc_key(
+                spec[..., :, None, :, :], gv, gvs, plan, axis=-4)
+            return _ntt.from_ntt_u64(r, plan)
+
+        sv_scan, svs_scan = bk.s_v, bk.s_vs
 
     gens = (a_int[..., :-1] * w[..., 1:]) & mod_mask       # [..., n-1]
     gens_scan = jnp.moveaxis(gens, -1, 0)
@@ -204,8 +247,8 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey) -> TRLWE:
         return _eval_auto_dyn(t, gen, bk), None
 
     acc, _ = jax.lax.scan(
-        step, acc, (bk.s_v[:-1], bk.s_vs[:-1], gens_scan))
-    t = ext_prod(acc, bk.s_v[-1], bk.s_vs[-1])
+        step, acc, (sv_scan[:-1], svs_scan[:-1], gens_scan))
+    t = ext_prod(acc, sv_scan[-1], svs_scan[-1])
     out = _eval_auto_dyn(t, a_int[..., -1], bk)
     return from_stacked(out)
 
