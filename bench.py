@@ -24,8 +24,13 @@ def main():
     from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
 
     p = params.TFHEPP_L2
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    on_accel = jax.devices()[0].platform in ("tpu", "axon", "gpu")
+    default_batch = "512" if on_accel else "8"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    if not on_accel:
+        print(f"# WARNING: no accelerator ({jax.devices()[0].platform}); "
+              f"batch {batch}", file=sys.stderr)
 
     key = jax.random.PRNGKey(2024)
     k0, k1, k2, k3, k4 = jax.random.split(key, 5)
