@@ -183,6 +183,27 @@ def import_mosfhet_trgsw(f, l: int, Bg_bit: int, k: int, N: int):
     return TRGSW(rows=jnp.stack(rows), l=l, Bg_bit=Bg_bit)
 
 
+def import_mosfhet_bootstrap_key(f):
+    """`save_bootstrap_key` (`bootstrap.c:62-79`): ints n, l, k, N, Bg_bit,
+    unfolding, then the TRGSW array.  Only unfolding >= 2 keys are stored in
+    the (exactly importable) time domain; unfold-1 keys are saved as the
+    reference's f64 FFT representation and cannot be imported losslessly."""
+    from . import ntt as _ntt
+    from .bootstrap import BootstrapKey
+    n, l, k, N, Bg_bit, unfolding = _read(f, "<iiiiii")
+    assert unfolding >= 2, "unfold-1 keys are stored in the f64 DFT domain"
+    key_exp = 1 << unfolding
+    count = n * key_exp // unfolding
+    rows = [import_mosfhet_trgsw(f, l, Bg_bit, k, N).rows
+            for _ in range(count)]
+    su = jnp.stack(rows).reshape(n // unfolding, key_exp, (k + 1) * l,
+                                 k + 1, N)
+    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), (k + 1) * l)
+    primes = _ntt.primes_for_bound(bound)
+    return BootstrapKey(v=None, vs=None, su=su, n=n, k=k, N=N, l=l,
+                        Bg_bit=Bg_bit, unfolding=unfolding, primes=primes)
+
+
 def import_mosfhet_compressed_trlwe(f, k: int, N: int, prng="xoroshiro"):
     """`trlwe_save_compressed_sample`: 16 seed bytes then u64 b[N]
     (`trlwe_compressed.c:66-69`).  Expand with `seeded.expand_mosfhet`."""
