@@ -195,8 +195,11 @@ class PBSKernelPlan:
             self._build(N, primes, l, Bg_bit, k, bt)
 
     def _build(self, N, primes, l, Bg_bit, k, bt):
+        from ..torus import TORUS_BITS
         self.N, self.primes, self.l, self.Bg_bit, self.k, self.bt = \
             N, tuple(primes), l, Bg_bit, k, bt
+        self.tb = TORUS_BITS          # torus width fixed per process
+        self.nl = TORUS_BITS // 32    # u32 limbs per torus word
         self.P = len(primes)
         self.C = k + 1
         self.J = (k + 1) * l
@@ -263,10 +266,15 @@ def get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _decompose_digit(lo, hi, i: int, Bg_bit: int):
-    """Digit i of the 64-bit value (lo, hi) after the offset add: signed in
+def _decompose_digit(lo, hi, i: int, Bg_bit: int, tb: int = 64):
+    """Digit i of the tb-bit value (lo, hi) after the offset add: signed in
     [-Bg/2, Bg/2) as int32 (`polynomial_decompose_i`,
-    `/root/reference/src/polynomial.c:74-89`)."""
+    `/root/reference/src/polynomial.c:74-89`).  For tb = 32 only `lo` is
+    used."""
+    if tb == 32:
+        mask32 = _U32((1 << Bg_bit) - 1)
+        v32 = lo >> _U32(32 - (i + 1) * Bg_bit)
+        return (v32 & mask32).astype(jnp.int32) - jnp.int32(1 << (Bg_bit - 1))
     shift = 64 - (i + 1) * Bg_bit
     mask = _U32((1 << Bg_bit) - 1)
     half = 1 << (Bg_bit - 1)
@@ -286,18 +294,7 @@ def _garner_limbs(ts, kp: PBSKernelPlan):
     `ntt.garner_u64` in 32-bit limbs."""
     P = kp.P
     primes = kp.primes
-    digs = [ts[0]]
-    for m in range(1, P):
-        p = primes[m]
-        acc = digs[0]                                 # < p (exact)
-        for j in range(1, m):
-            w, ws = kp.garner_w[m][j]
-            term = _shoup_lazy(digs[j], _U32(w), _U32(ws), p)   # < 2p
-            acc = _cond_sub(acc + term, 2 * p)
-        acc = _exact(acc, p)
-        diff = _exact(ts[m] + _U32(p) - acc, p)
-        c, cs = kp.garner_cinv[m]
-        digs.append(_exact(_shoup_lazy(diff, _U32(c), _U32(cs), p), p))
+    digs = _garner_digits(ts, kp)
     top = digs[-1]
     p_top = primes[P - 1]
     negm = top > _U32(p_top // 2)
@@ -312,6 +309,39 @@ def _garner_limbs(ts, kp: PBSKernelPlan):
         carry = (lo2 < new_lo).astype(_U32)
         lo, hi = lo2, new_hi + carry
     return lo, hi
+
+
+def _garner_digits(ts, kp: PBSKernelPlan):
+    """Shared mixed-radix digit extraction: exact residues -> Garner digits."""
+    P = kp.P
+    primes = kp.primes
+    digs = [ts[0]]
+    for m in range(1, P):
+        p = primes[m]
+        acc = digs[0]
+        for j in range(1, m):
+            w, ws = kp.garner_w[m][j]
+            term = _shoup_lazy(digs[j], _U32(w), _U32(ws), p)
+            acc = _cond_sub(acc + term, 2 * p)
+        acc = _exact(acc, p)
+        diff = _exact(ts[m] + _U32(p) - acc, p)
+        c, cs = kp.garner_cinv[m]
+        digs.append(_exact(_shoup_lazy(diff, _U32(c), _U32(cs), p), p))
+    return digs
+
+
+def _garner_limb32(ts, kp: PBSKernelPlan):
+    """Exact residues -> value mod 2^32 (single u32 limb; TORUS32 build).
+    The mixed-radix Horner wraps mod 2^32, so only low multiplies appear."""
+    digs = _garner_digits(ts, kp)
+    P = kp.P
+    top = digs[-1]
+    p_top = kp.primes[P - 1]
+    negm = top > _U32(p_top // 2)
+    lo = jnp.where(negm, top - _U32(p_top), top)
+    for m in range(P - 2, -1, -1):
+        lo = lo * _U32(kp.primes[m]) + digs[m]
+    return lo
 
 
 def _make_kernel(kp: PBSKernelPlan):
@@ -457,6 +487,20 @@ def _negacyclic_rotate_limbs(lo, hi, a_col, liota, N: int):
     return lo, hi
 
 
+def _negacyclic_rotate_limb32(lo, a_col, liota, N: int):
+    """Single-limb (TORUS32) per-row rotation X^{a}."""
+    logN = N.bit_length() - 1
+    for j in range(logN):
+        s = 1 << j
+        bit = ((a_col >> jnp.int32(j)) & jnp.int32(1)) == jnp.int32(1)
+        rlo = pltpu.roll(lo, jnp.int32(s), 1)
+        wrapped = liota < _U32(s)
+        cand = jnp.where(wrapped, _U32(0) - rlo, rlo)
+        lo = jnp.where(bit, cand, lo)
+    bit_n = ((a_col >> jnp.int32(logN)) & jnp.int32(1)) == jnp.int32(1)
+    return jnp.where(bit_n, _U32(0) - lo, lo)
+
+
 def _make_step_kernel(kp: PBSKernelPlan):
     N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
     bt = kp.bt
@@ -470,6 +514,15 @@ def _make_step_kernel(kp: PBSKernelPlan):
 
         acc = []                                           # keep for final add
         for c in range(C):
+            if kp.nl == 1:
+                alo = acc_ref[0, 0, c]
+                acc.append((alo, None))
+                rlo = _negacyclic_rotate_limb32(alo, a_col, liota, N)
+                lo = (rlo - alo) + _U32(kp.off_lo)      # mod 2^32 throughout
+                for i in range(l):
+                    dig_ref[c * l + i] = _decompose_digit(
+                        lo, None, i, Bg_bit, tb=32)
+                continue
             alo = acc_ref[0, 0, c]
             ahi = acc_ref[0, 1, c]
             acc.append((alo, ahi))
@@ -513,6 +566,10 @@ def _make_step_kernel(kp: PBSKernelPlan):
                 p = kp.primes[p_i]
                 ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
                                    itws_ref[p_i], liota, p, N))
+            if kp.nl == 1:
+                dlo = _garner_limb32(ts, kp)
+                out_ref[0, 0, c] = acc[c][0] + dlo      # mod 2^32
+                continue
             dlo, dhi = _garner_limbs(ts, kp)
             alo, ahi = acc[c]
             olo = alo + dlo
@@ -527,17 +584,18 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
                     interpret: bool = False):
     """One fused blind-rotate step on limb tiles.
 
-    acc_tiles: [nb, 2, C, BT, N] u32; a_tiles: [nb, BT, 1] i32."""
+    acc_tiles: [nb, nl, C, BT, N] u32; a_tiles: [nb, BT, 1] i32."""
     nb = acc_tiles.shape[0]
     N, P, C, J, bt = kp.N, kp.P, kp.C, kp.J, kp.bt
+    nl = kp.nl
     S = N.bit_length() - 1
     kernel = _make_step_kernel(kp)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, 2, C, bt, N), _U32),
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 2, C, bt, N),
+            pl.BlockSpec((1, nl, C, bt, N),
                          lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt, 1), lambda i: (i, i * 0, i * 0),
@@ -557,7 +615,7 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
             pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, C, bt, N),
+        out_specs=pl.BlockSpec((1, nl, C, bt, N),
                                lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -572,20 +630,25 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
 
 
 def split_limbs(x, kp: PBSKernelPlan):
-    """[B, C, N] u64 -> [nb, 2, C, BT, N] u32 limb tiles."""
+    """[B, C, N] torus -> [nb, nl, C, BT, N] u32 limb tiles."""
     B, C, N = x.shape
     bt = kp.bt
     nb = B // bt
-    lo = (x & jnp.uint64(0xFFFFFFFF)).astype(_U32)
-    hi = (x >> jnp.uint64(32)).astype(_U32)
-    t = jnp.stack([lo, hi])                        # [2, B, C, N]
-    return t.reshape(2, nb, bt, C, N).transpose(1, 0, 3, 2, 4)
+    if kp.nl == 1:
+        t = jnp.asarray(x, _U32)[None]             # [1, B, C, N]
+    else:
+        lo = (x & jnp.uint64(0xFFFFFFFF)).astype(_U32)
+        hi = (x >> jnp.uint64(32)).astype(_U32)
+        t = jnp.stack([lo, hi])                    # [2, B, C, N]
+    return t.reshape(kp.nl, nb, bt, C, N).transpose(1, 0, 3, 2, 4)
 
 
 def merge_limbs(t):
-    """[nb, 2, C, BT, N] u32 -> [B, C, N] u64."""
-    nb, _, C, bt, N = t.shape
-    t = t.transpose(1, 0, 3, 2, 4).reshape(2, nb * bt, C, N)
+    """[nb, nl, C, BT, N] u32 -> [B, C, N] torus."""
+    nb, nl, C, bt, N = t.shape
+    t = t.transpose(1, 0, 3, 2, 4).reshape(nl, nb * bt, C, N)
+    if nl == 1:
+        return t[0]
     return t[0].astype(jnp.uint64) | (t[1].astype(jnp.uint64)
                                       << jnp.uint64(32))
 
@@ -624,6 +687,7 @@ def cmux_delta(rot, keyv32, keyvs32, kp: PBSKernelPlan,
     """
     B, C, N = rot.shape
     bt = kp.bt
+    assert kp.nl == 2, "cmux_delta implements the 64-bit torus only"
     assert B % bt == 0, f"batch {B} must be a multiple of the tile size {bt}"
     nb = B // bt
     lo = (rot & jnp.uint64(0xFFFFFFFF)).astype(_U32)

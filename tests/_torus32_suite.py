@@ -85,3 +85,36 @@ def test_tlwe_keyswitch():
     c = tlwe.encrypt(m, in_key, k3)
     o = tlwe.keyswitch(c, ksk)
     assert _err(tlwe.phase(o, out_key), m) < 1 << 14
+
+
+def test_pallas_step_kernel_torus32():
+    """Single-limb kernel scan == jnp blind rotate, bit-exact (interpret)."""
+    import math
+    from mosfhet_tpu.ops import pbs_kernel as pk
+    from mosfhet_tpu import bootstrap as _bs
+
+    p = P32
+    k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(17), 5)
+    kt = tlwe.new_binary_key(k0, p.n, p.lwe_sigma)
+    kr = trlwe.new_binary_key(k1, p.N, p.k, p.rlwe_sigma)
+    gk = trgsw.new_key(kr, p.l, p.Bg_bit)
+    bk = bootstrap.new_key(k2, gk, kt, 1)
+    B = 32
+    luts = rng.uniform_torus(k3, (4,))
+    tv = trlwe.torus_packing(luts, p.k, p.N)
+    tv_b = trlwe.TRLWE(a=jnp.broadcast_to(tv.a, (B,) + tv.a.shape),
+                       b=jnp.broadcast_to(tv.b, (B,) + tv.b.shape))
+    a = rng.uniform_torus(k4, (B, p.n))
+    want = bootstrap.blind_rotate(tv_b, a, bk, impl="jnp")
+
+    kp = pk.get_kernel_plan(p.N, bk.primes, p.l, p.Bg_bit, p.k)
+    assert kp.nl == 1 and kp.P == 2   # TORUS32: single limb, two primes
+    log_N2 = int(math.log2(2 * p.N))
+    a_int = torus.torus2int(a, log_N2).astype(jnp.int32)
+    acc = pk.blind_rotate_scan(
+        tv_b.stacked(), jnp.moveaxis(a_int, -1, 0),
+        bk.v.astype(jnp.uint32), bk.vs.astype(jnp.uint32), kp,
+        interpret=True)
+    got = trlwe.from_stacked(acc)
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
