@@ -1,0 +1,45 @@
+"""TORUS32 PBS throughput on TPU (single-limb kernel, 2 primes)."""
+import time, sys, math
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+# run with PYTHONPATH=/root/repo MOSFHET_TORUS_BITS=32
+
+from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
+assert torus.TORUS_BITS == 32
+
+p = params.TFHEParams(n=632, N=2048, k=1, l=3, Bg_bit=7, t=6, base_bit=4,
+                      lwe_sigma=2.0**-15, rlwe_sigma=2.0**-25, name="L2_32")
+key = jax.random.PRNGKey(2024)
+k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+kt = tlwe.new_binary_key(k0, p.n, p.lwe_sigma)
+kr = trlwe.new_binary_key(k1, p.N, p.k, p.rlwe_sigma)
+ko = trlwe.extract_tlwe_key(kr)
+gk = trgsw.new_key(kr, p.l, p.Bg_bit)
+t0 = time.time()
+bk = jax.jit(lambda r, kk: bootstrap.new_key(r, gk, kk, 1))(k2, kt)
+jax.block_until_ready(bk.v)
+print(f"keygen {time.time()-t0:.0f}s; primes={bk.primes} "
+      f"bk {bk.v.nbytes/2**20:.0f} MiB", flush=True)
+
+B = 512
+luts = rng.uniform_torus(k3, (4,))
+tv = trlwe.torus_packing(luts, p.k, p.N)
+ms = torus.double2torus((jnp.arange(B) % 4) / 8.0)
+cs = jax.jit(tlwe.encrypt)(ms, kt, k4)
+f = jax.jit(lambda tv, cs, bk: bootstrap.functional_bootstrap(tv, cs, bk, 4))
+t0 = time.time()
+out = f(tv, cs, bk); jax.block_until_ready(out.b)
+print(f"first call {time.time()-t0:.0f}s", flush=True)
+ph = np.asarray(jax.jit(tlwe.phase)(out, ko))
+want = np.asarray(luts)[np.arange(B) % 4]
+d = np.abs(ph.astype(np.float64) - want.astype(np.float64))
+err = np.minimum(d, 2.0**32 - d).max()
+print(f"max err 2^{np.log2(err+1):.1f} {'OK' if err < 2**26 else 'FAIL'}",
+      flush=True)
+ts = []
+for _ in range(3):
+    t0 = time.time(); out = f(tv, cs, bk); jax.block_until_ready(out.b)
+    ts.append(time.time() - t0)
+print(f"{min(ts)/B*1e3:.2f} ms/bootstrap -> {B/min(ts):.0f} boot/s (TORUS32)")
