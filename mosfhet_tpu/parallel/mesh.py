@@ -126,8 +126,10 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
                                k, N, model_axis if m_size > 1 else None)
         return acc
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the default vma check rejects inside shard_map
     sharded = shard_map(inner, mesh=mesh, in_specs=in_specs,
-                        out_specs=out_specs)
+                        out_specs=out_specs, check_vma=False)
 
     # key arrays are jit arguments (closing over them would embed GiB-scale
     # constants in the compile payload)
