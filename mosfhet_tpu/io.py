@@ -32,14 +32,16 @@ VERSION = 1
 # import cycles.
 def _registry():
     from . import tlwe, trlwe, trgsw, keyswitch, bootstrap, seeded
+    from . import bootstrap_ga
     types = [
-        tlwe.TLWE, tlwe.TLWEKey, tlwe.TLWEKSKey,
+        tlwe.TLWE, tlwe.TLWEKey, tlwe.TLWEKSKey, tlwe.TLWEKSKeyM,
+        tlwe.TLWEKSKeyPrepared,
         trlwe.TRLWE, trlwe.TRLWEKey, trlwe.TRLWEDFT,
         trgsw.TRGSW, trgsw.TRGSWDFT, trgsw.TRGSWKey, trgsw.TRGSWReg,
         keyswitch.TRLWEKSKey, keyswitch.GenericKSKey,
         keyswitch.LUTPackingKSKey, keyswitch.FullPackingKSKey,
-        bootstrap.BootstrapKey,
-        seeded.SeededTRLWE,
+        bootstrap.BootstrapKey, bootstrap_ga.GABootstrapKey,
+        seeded.SeededTRLWE, seeded.MosfhetSeededTRLWE,
     ]
     return {t.__name__: t for t in types}
 
