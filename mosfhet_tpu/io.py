@@ -127,7 +127,7 @@ def load(path):
 
 
 # =========================================================================
-# MOSFHET raw-binary importers (reference layouts)
+# MOSFHET raw-binary importers/exporters (reference layouts)
 # =========================================================================
 
 def _read(f, fmt):
@@ -137,6 +137,52 @@ def _read(f, fmt):
 
 def _read_u64(f, count):
     return np.frombuffer(f.read(8 * count), dtype="<u8", count=count)
+
+
+def _write_u64(f, arr):
+    f.write(np.ascontiguousarray(np.asarray(arr, dtype="<u8")).tobytes())
+
+
+def export_mosfhet_tlwe_key(f, key):
+    """`tlwe_save_key` layout (`tlwe.c:85-89`)."""
+    f.write(struct.pack("<i", key.n))
+    f.write(struct.pack("<d", float(key.sigma)))
+    _write_u64(f, np.asarray(key.s).astype(np.int64).astype(np.uint64))
+
+
+def export_mosfhet_tlwe(f, c):
+    """`tlwe_save_sample` (`tlwe.c:43-46`).  Single (unbatched) sample."""
+    _write_u64(f, c.a)
+    _write_u64(f, np.asarray(c.b, np.uint64).reshape(1))
+
+
+def export_mosfhet_trlwe_key(f, key):
+    """`trlwe_save_key` (`trlwe.c:230-237`)."""
+    f.write(struct.pack("<ii", key.k, key.N))
+    f.write(struct.pack("<d", float(key.sigma)))
+    _write_u64(f, np.asarray(key.s).astype(np.int64).astype(np.uint64))
+
+
+def export_mosfhet_trlwe(f, c):
+    """`trlwe_save_sample` (`trlwe.c:24-29`)."""
+    _write_u64(f, c.a)
+    _write_u64(f, c.b)
+
+
+def export_mosfhet_trgsw(f, g):
+    """`trgsw_save_sample` (`trgsw.c:60-64`): (k+1)*l TRLWE rows."""
+    _write_u64(f, g.rows)
+
+
+def export_mosfhet_tlwe_ks_key(f, ksk):
+    """`tlwe_save_KS_key` (`tlwe.c:274-287`)."""
+    n_in, t, base_m1, n_out = ksk.a.shape
+    f.write(struct.pack("<iiii", n_in, t,
+                        (base_m1 + 1).bit_length() - 1, n_out))
+    ab = np.concatenate(
+        [np.asarray(ksk.a, np.uint64),
+         np.asarray(ksk.b, np.uint64)[..., None]], axis=-1)
+    _write_u64(f, ab)
 
 
 def import_mosfhet_tlwe_key(f):
