@@ -316,6 +316,85 @@ def new_priv_sk_ks_key(rkey, out_key: TRLWEKey, in_key: TLWEKey, t: int,
     return GenericKSKey(table=tab, t=t, base_bit=base_bit, include_b=True)
 
 
+@flax.struct.dataclass
+class SeededLUTPackingKSKey:
+    """Compressed LUT-packing key: the uniform mask `a` of every table
+    TRLWE is stored as a threefry seed and regenerated on expansion —
+    the reference's USE_COMPRESSED_TRLWE build does the same with
+    xoroshiro inside its KS keys (`keyswitch.c:231-241`), halving the
+    multi-GB table (k/(k+1) of the ciphertext words)."""
+    seeds: jax.Array   # [n, torus_base, t, base-1, 2] u32 key data
+    b: jax.Array       # [n, torus_base, t, base-1, N]
+    k: int = flax.struct.field(pytree_node=False)
+    t: int = flax.struct.field(pytree_node=False)
+    base_bit: int = flax.struct.field(pytree_node=False)
+    torus_base: int = flax.struct.field(pytree_node=False)
+
+
+def new_lut_packing_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
+                                  t: int, base_bit: int,
+                                  torus_base: int) -> SeededLUTPackingKSKey:
+    """Seeded variant of `new_lut_packing_ks_key` (chunked like the dense
+    keygen)."""
+    from . import seeded as _seeded
+    N, k, n = out_key.N, out_key.k, in_key.n
+    base_m1 = (1 << base_bit) - 1
+    total = n * torus_base * t * base_m1
+    chunk = 2048
+    n_chunks = -(-total // chunk)
+    keys = jax.random.split(rkey, n_chunks)
+
+    def one(rk):
+        c = _seeded.encrypt(jnp.zeros((chunk, N), TORUS_DTYPE), out_key, rk)
+        return c.seed, c.b
+
+    seeds, bs = jax.lax.map(one, keys)
+    seeds = seeds.reshape(n_chunks * chunk, 2)[:total]
+    bs = bs.reshape(n_chunks * chunk, N)[:total]
+    shape = (n, torus_base, t, base_m1)
+    seeds = seeds.reshape(shape + (2,))
+    b = bs.reshape(shape + (N,))
+    # key material lands on b (slot-replicated decomposed key values)
+    dec = _dec_key_values(in_key.s, t, base_bit)         # [n, t, base-1]
+    slot = N // torus_base
+    e_of_coeff = jnp.arange(N) // slot
+    mask = (e_of_coeff[None, :] ==
+            jnp.arange(torus_base)[:, None]).astype(TORUS_DTYPE)
+    b = b + dec[:, None, :, :, None] * mask[None, :, None, None, :]
+    return SeededLUTPackingKSKey(seeds=seeds, b=b, k=k, t=t,
+                                 base_bit=base_bit, torus_base=torus_base)
+
+
+def expand_lut_packing_ks_key(sk: SeededLUTPackingKSKey) -> LUTPackingKSKey:
+    """Regenerate the masks and assemble the dense table (chunked)."""
+    from . import seeded as _seeded
+    N = sk.b.shape[-1]
+    shape = sk.b.shape[:-1]
+    total = 1
+    for d in shape:
+        total *= d
+    seeds = sk.seeds.reshape(total, 2)
+    bs = sk.b.reshape(total, N)
+    chunk = 2048
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    if pad:
+        seeds = jnp.concatenate([seeds, seeds[:pad]], axis=0)
+        bs = jnp.concatenate([bs, bs[:pad]], axis=0)
+
+    def one(args):
+        sd, b = args
+        a = _seeded._expand_a(sd, sk.k, N)
+        return jnp.concatenate([a, b[:, None, :]], axis=1)  # [chunk, k+1, N]
+
+    tab = jax.lax.map(one, (seeds.reshape(n_chunks, chunk, 2),
+                            bs.reshape(n_chunks, chunk, N)))
+    tab = tab.reshape(n_chunks * chunk, sk.k + 1, N)[:total]
+    return LUTPackingKSKey(table=tab.reshape(shape + (sk.k + 1, N)),
+                           t=sk.t, base_bit=sk.base_bit,
+                           torus_base=sk.torus_base)
+
+
 def new_lut_packing_ks_key(rkey, out_key: TRLWEKey, in_key: TLWEKey, t: int,
                            base_bit: int, torus_base: int) -> LUTPackingKSKey:
     """(`trlwe_new_packing_KS_key`, `keyswitch.c:244-270`): entry [i,e,j,v]

@@ -160,3 +160,30 @@ def test_tlwe_keyswitch_mxu_bit_identical():
     o1 = tlwe.keyswitch_no_precomp(c, ksk)
     o2 = tlwe.keyswitch_mxu(c, pksk)
     assert bool(jnp.all(o1.a == o2.a) & jnp.all(o1.b == o2.b))
+
+
+def test_seeded_lut_packing_ks_key():
+    """Compressed packing key (threefry-seeded masks, the reference's
+    USE_COMPRESSED_TRLWE analog) expands to a working LUT-packing key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mosfhet_tpu import params, tlwe, trlwe, keyswitch, torus
+    p = params.TOY
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(77), 4)
+    key_trlwe = trlwe.new_binary_key(k0, p.N, p.k, 0.0)
+    key_tlwe = trlwe.extract_tlwe_key(key_trlwe)
+    tb = 4
+    sk = keyswitch.new_lut_packing_ks_key_seeded(
+        k1, key_trlwe, key_tlwe, p.t, p.base_bit, tb)
+    ksk = keyswitch.expand_lut_packing_ks_key(sk)
+    assert sk.b.nbytes < ksk.table.nbytes  # compression is real
+    ms = torus.double2torus(jnp.arange(tb) / (2.0 * tb))
+    cs = tlwe.encrypt(ms, key_tlwe, k2)
+    packed = keyswitch.lut_packing_keyswitch(cs, ksk)
+    ph = np.asarray(trlwe.phase(packed, key_trlwe), np.uint64)
+    slot = p.N // tb
+    want = np.repeat(np.asarray(ms, np.uint64), slot)
+    d = np.abs(ph.astype(np.float64) - want.astype(np.float64))
+    err = np.minimum(d, 2.0**64 - d).max()
+    assert err < 2.0**46, np.log2(err + 1)
