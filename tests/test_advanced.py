@@ -257,3 +257,74 @@ def test_mosfhet_import(tmp_path):
     np.testing.assert_array_equal(np.asarray(key.s), s.astype(np.int64))
     np.testing.assert_array_equal(np.asarray(c.a), a)
     assert int(c.b) == int(b)
+
+
+def test_circuit_bootstrap_v2():
+    """Single many-LUT bootstrap variant (`circuit_bootstrap_2`,
+    `bootstrap.c:324-344`)."""
+    kk, key_tlwe, key_trlwe, key_out, gk, bk = _bs_keys(12)
+    kska = ks.new_priv_sk_ks_key(kk[3], key_trlwe, key_out, P.t, P.base_bit)
+    kskb = ks.new_packing1_ks_key(kk[4], key_trlwe, key_out, P.t, P.base_bit)
+    m0 = rng.uniform_torus(kk[5], (P.N,))
+    ctrl = trlwe.encrypt(m0, key_trlwe, kk[6])
+    for bit in (0, 1):
+        c = tlwe.encrypt(torus.double2torus(bit / 4.0), key_tlwe,
+                         jax.random.fold_in(KEY, 120 + bit))
+        g = bootstrap.circuit_bootstrap_2(c, bk, kska, kskb, P.l, P.Bg_bit)
+        gd = trgsw.to_dft(g, gk.plan())
+        out = trgsw.external_product(ctrl, gd)
+        want = m0 if bit else jnp.zeros_like(m0)
+        assert_torus_within(1 << 59, want, trlwe.phase(out, key_trlwe),
+                            f"CB v2 bit={bit}")
+
+
+def test_fdfb_clot21_single_br():
+    """Single-blind-rotate CLOT21 FDFB (`bootstrap.c:483-517`)."""
+    kk, key_tlwe, key_trlwe, key_out, gk, bk = _bs_keys(13)
+    rlk = ks.new_rl_key(kk[3], key_trlwe, 2, 20)
+    ksk = ks.new_packing1_ks_key(kk[4], key_trlwe, key_out, P.t, P.base_bit)
+    prec = 4
+    luts = torus.int2torus(
+        rng.uniform_torus(kk[5], (8,)) & jnp.uint64((1 << prec) - 1), prec)
+    for m in (1, 6):
+        c = tlwe.encrypt(torus.int2torus(jnp.uint64(m), 3), key_tlwe,
+                         jax.random.fold_in(KEY, 130 + m))
+        out = bootstrap.fdfb_clot21_2(luts, c, bk, ksk, rlk, prec)
+        assert_torus_within(1 << (64 - prec - 1), luts[m],
+                            tlwe.phase(out, key_out), f"fdfb_clot21_2 m={m}")
+
+
+def test_trgsw_registers():
+    """X^(m1±m2) register arithmetic (`register.c:46-71`)."""
+    kk = jax.random.split(jax.random.fold_in(KEY, 14), 4)
+    sk = trlwe.new_binary_key(kk[0], P.N, P.k, P.rlwe_sigma)
+    gk_ = trgsw.new_key(sk, P.l, P.Bg_bit)
+    r1 = trgsw.reg_encrypt(5, gk_, kk[1])
+    r2 = trgsw.reg_encrypt(3, gk_, kk[2])
+    m0 = rng.uniform_torus(kk[3], (P.N,))
+    ctrl = trlwe.encrypt(m0, sk, jax.random.fold_in(KEY, 140))
+    for name, r, e in (("add", trgsw.reg_add(r1, r2), 8),
+                       ("sub", trgsw.reg_sub(r1, r2), 2)):
+        out = trgsw.external_product(ctrl, trgsw._with_shoup(r.positive))
+        want = polynomial.mul_by_xai(m0, jnp.int32(e))
+        assert_torus_within(1 << 60, want, trlwe.phase(out, sk),
+                            f"reg {name}")
+
+
+def test_mv_extract_variants():
+    """Multi-value extraction (`trlwe_mv_extract_tlwe*`, `trlwe.c:580-620`)."""
+    kk = jax.random.split(jax.random.fold_in(KEY, 15), 3)
+    sk = trlwe.new_binary_key(kk[0], P.N, P.k, 0.0)
+    key_out = trlwe.extract_tlwe_key(sk)
+    m0 = rng.uniform_torus(kk[1], (P.N,))
+    c = trlwe.encrypt(m0, sk, kk[2])
+    amount = 4
+    outs = trlwe.mv_extract_tlwe(c, amount)
+    m_np = np.asarray(m0, np.uint64)
+    for i, o in enumerate(outs):
+        if i < amount // 2:
+            want = m_np[i]
+        else:
+            want = np.uint64(0) - m_np[P.N - 1 - (i - amount // 2)]
+        assert_torus_within(1 << 46, want, tlwe.phase(o, key_out),
+                            f"mv extract {i}")
