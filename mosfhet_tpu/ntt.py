@@ -158,6 +158,12 @@ class NTTPlan:
         self.mu = jnp.asarray(
             np.array([(1 << 60) // p for p in self.primes], dtype=np.uint64)
         )
+        # `barrett_mul` (two conditional subtractions) is exact only when its
+        # quotient underestimate is < 3, i.e. 2^30/p + 1.25 < 3  ->
+        # p > 2^30 / 1.75 — stricter than the framework-wide (2^28, 2^30)
+        # prime window, so enforce it where the constants are built.
+        assert min(self.primes) > (1 << 30) // 1.75, \
+            "barrett_mul needs all primes > 2^30/1.75 (~2^29.2)"
         self.mu62 = jnp.asarray(
             np.array([(1 << 62) // p for p in self.primes], dtype=np.uint64)
         )

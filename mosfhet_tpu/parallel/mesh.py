@@ -77,7 +77,7 @@ def _blind_rotate_tp(acc_st, a_int, bk_v, bk_vs, plan, l, Bg_bit, k, N,
 
 def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
                 data_axis: str = "data", model_axis: str | None = "model",
-                impl: str = "auto"):
+                impl: str = "auto", interpret: bool = False):
     """Returns a jitted, mesh-sharded batched functional bootstrap:
     fn(tv: TRLWE[B, ...], c: TLWE[B, ...]) -> TLWE[B, k*N].
 
@@ -87,8 +87,8 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
     impl: "auto" uses the fused Pallas kernel per data shard on TPU when
     the key is replicated (pure data parallelism — the blind rotate is then
     communication-free); gadget-axis (model) sharding and non-TPU platforms
-    use the portable jnp path.  Both are exact.  With the kernel, the
-    per-shard batch (B / data) must be a multiple of the kernel tile (32).
+    use the portable jnp path.  Both are exact.  The kernel path pads each
+    shard's batch up to the kernel tile (32) and truncates after.
     """
     assert bk.unfolding == 1
     plan = bk.plan()
@@ -119,9 +119,19 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
         if impl == "pallas":
             from ..ops import pbs_kernel as _pk
             kp = _pk.get_kernel_plan(N, bk.primes, l, Bg_bit, k)
-            return _pk.blind_rotate_scan(
+            Bs = acc.shape[0]
+            pad = (-Bs) % kp.bt         # per-shard batch -> kernel tile
+            if pad:
+                acc = jnp.concatenate(
+                    [acc, jnp.zeros((pad,) + acc.shape[1:], acc.dtype)],
+                    axis=0)
+                a_scan = jnp.concatenate(
+                    [a_scan, jnp.zeros(a_scan.shape[:-1] + (pad,),
+                                       jnp.int32)], axis=-1)
+            out = _pk.blind_rotate_scan(
                 acc, a_scan, bk_v.astype(jnp.uint32),
-                bk_vs.astype(jnp.uint32), kp)
+                bk_vs.astype(jnp.uint32), kp, interpret=interpret)
+            return out[:Bs] if pad else out
         acc = _blind_rotate_tp(acc, a_scan, bk_v, bk_vs, plan, l, Bg_bit,
                                k, N, model_axis if m_size > 1 else None)
         return acc

@@ -7,8 +7,9 @@ the torus width is selected at import time: set ``MOSFHET_TORUS_BITS=32``
 in the environment for the u32 torus (default 64).  All arithmetic is
 exact wraparound; helpers mirror `src/misc.c:9-28`.
 
-The fused Pallas kernel currently implements the 64-bit torus only; under
-TORUS32 the bootstrap runs the (equally exact) portable jnp path.
+The fused Pallas blind-rotate step kernel supports both widths (a 1-limb
+tile under TORUS32, 2 limbs under the default u64 torus); only the
+standalone `cmux_delta` entry point (GA-bootstrap path) is 64-bit-only.
 """
 
 from __future__ import annotations

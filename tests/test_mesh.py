@@ -1,0 +1,109 @@
+"""Multi-chip sharding correctness on the 8-device virtual CPU mesh.
+
+The reference has no distribution (SURVEY.md §2.2); the mesh paths are this
+framework's own headline claim, so they are proven here bit-exactly:
+
+- data-sharded PBS == the unsharded single-device bootstrap (same bits),
+- gadget-axis ("model") sharded PBS (per-step psum of partial external
+  products, `parallel/mesh.py:_blind_rotate_tp`) == unsharded,
+- the fused Pallas kernel path inside shard_map (interpreter mode),
+  including a per-shard batch that is NOT a multiple of the kernel tile
+  (exercises the in-`pbs_on_mesh` padding),
+- and every output decrypts to the right LUT slot.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
+from mosfhet_tpu.parallel import mesh as pmesh
+
+P = params.TOY
+KEY = jax.random.PRNGKey(4242)
+
+
+def _setup(seed, batch, p=P):
+    k0, k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(KEY, seed), 5)
+    key_tlwe = tlwe.new_binary_key(k0, p.n, p.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(k1, p.N, p.k, p.rlwe_sigma)
+    key_out = trlwe.extract_tlwe_key(key_trlwe)
+    gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
+    bk = bootstrap.new_key(k2, gk, key_tlwe, 1)
+    luts = rng.uniform_torus(k3, (4,))
+    tv1 = trlwe.torus_packing(luts, p.k, p.N)
+    slots = jnp.arange(batch) % 4
+    ms = torus.double2torus(slots / 8.0)
+    cs = tlwe.encrypt(ms, key_tlwe, k4)
+    # batched test vector (the mesh path shards the leading batch axis)
+    tv = trlwe.TRLWE(a=jnp.broadcast_to(tv1.a, (batch,) + tv1.a.shape),
+                     b=jnp.broadcast_to(tv1.b, (batch,) + tv1.b.shape))
+    return tv, tv1, cs, bk, key_out, luts, slots
+
+
+def _phase_check(out, key_out, luts, slots, delta=1 << 58):
+    ph = np.asarray(tlwe.phase(out, key_out), dtype=np.uint64)
+    want = np.asarray(luts, dtype=np.uint64)[np.asarray(slots)]
+    diff = np.abs((ph - want).view(np.int64).astype(np.float64))
+    assert diff.max() <= delta, f"phase err 2^{np.log2(diff.max()+1):.1f}"
+
+
+def test_data_sharded_bit_exact():
+    """Pure data parallelism: shard batch over all 8 devices, replicate the
+    key.  Bit-identical to the unsharded jnp bootstrap + decrypts."""
+    batch = 16
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(0, batch)
+    mesh = pmesh.make_mesh(jax.devices(), data=8, model=1)
+    run = pmesh.pbs_on_mesh(mesh, bk, torus_base=4, model_axis=None)
+    got = run(tv, cs)
+    want = bootstrap.functional_bootstrap(tv1, cs, bk, 4)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    _phase_check(got, key_out, luts, slots)
+
+
+def test_model_sharded_bit_exact():
+    """Gadget-axis (tensor-parallel analog) sharding: the bootstrap key's
+    J=(k+1)l rows are split over `model`, partial products psum'd each CMUX
+    step.  Must be bit-identical to the replicated-key path."""
+    batch = 8
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(1, batch)
+    mesh = pmesh.make_mesh(jax.devices(), data=4, model=2)
+    run = pmesh.pbs_on_mesh(mesh, bk, torus_base=4, model_axis="model")
+    got = run(tv, cs)
+    want = bootstrap.functional_bootstrap(tv1, cs, bk, 4)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    _phase_check(got, key_out, luts, slots)
+
+
+def test_model_shard_4way():
+    """4-way gadget sharding (J=8 rows, 2 per shard) on a 2x4 mesh."""
+    batch = 4
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(2, batch)
+    mesh = pmesh.make_mesh(jax.devices(), data=2, model=4)
+    run = pmesh.pbs_on_mesh(mesh, bk, torus_base=4, model_axis="model")
+    got = run(tv, cs)
+    want = bootstrap.functional_bootstrap(tv1, cs, bk, 4)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    _phase_check(got, key_out, luts, slots)
+
+
+def test_pallas_kernel_on_mesh_with_padding():
+    """The fused kernel path inside shard_map (interpreter mode), with a
+    per-shard batch (2) that is not a multiple of the kernel tile (32):
+    `pbs_on_mesh` must pad/truncate internally and stay bit-exact."""
+    p = params.TFHEParams(
+        n=8, N=128, k=1, l=2, Bg_bit=10, t=6, base_bit=4,
+        lwe_sigma=2.0**-28, rlwe_sigma=2.0**-44, name="MESH_PALLAS",
+    )
+    batch = 4                       # 2 devices x 2 per shard
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(3, batch, p=p)
+    mesh = pmesh.make_mesh(jax.devices()[:2], data=2, model=1)
+    run = pmesh.pbs_on_mesh(mesh, bk, torus_base=4, model_axis=None,
+                            impl="pallas", interpret=True)
+    got = run(tv, cs)
+    want = bootstrap.functional_bootstrap(tv1, cs, bk, 4)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    _phase_check(got, key_out, luts, slots)
