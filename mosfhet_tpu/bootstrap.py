@@ -180,25 +180,70 @@ def blind_rotate(tv: TRLWE, a, bk: BootstrapKey, impl: str = "auto") -> TRLWE:
     return from_stacked(acc)
 
 
-def blind_rotate_unfolded(tv: TRLWE, a, bk: BootstrapKey) -> TRLWE:
-    """Unfolded blind rotate: per u-group combine 2^u key TRGSWs with
-    X^{sum a} rotations, then a single external product
-    (`blind_rotate_unfolded`, `bootstrap.c:124-148`)."""
+def _unfold_rotations(a_arr, bk: BootstrapKey):
+    """Per-group, per-mask-combination rotation exponents
+    (`bootstrap.c:128-136`): rot[..., g, m] = round((sum_{i in m} a[g*u+i])
+    * 2N / 2^TB), int32 in [0, 2N]."""
     u = bk.unfolding
-    assert u > 1
-    plan = bk.plan()
-    N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
-    log_N2 = int(math.log2(2 * N))
+    log_N2 = int(math.log2(2 * bk.N))
     key_exp = 1 << u
-    a_arr = jnp.asarray(a, TORUS_DTYPE)
     batch = a_arr.shape[:-1]
     a_grp = a_arr.reshape(batch + (bk.n // u, u))
-    # rotation amounts per group and mask combination j:
     bits = ((jnp.arange(key_exp)[:, None] >> jnp.arange(u)[None, :]) & 1
             ).astype(TORUS_DTYPE)                        # [2^u, u]
     sums = jnp.sum(a_grp[..., :, None, :] * bits, axis=-1,
                    dtype=TORUS_DTYPE)
-    rot = torus2int(sums, log_N2).astype(jnp.int32)      # [..., n/u, 2^u]
+    return torus2int(sums, log_N2).astype(jnp.int32)     # [..., n/u, 2^u]
+
+
+def _blind_rotate_unfolded_pallas(tv: TRLWE, a, bk: BootstrapKey,
+                                  interpret: bool = False) -> TRLWE:
+    """Unfolded blind rotate via the single fused Pallas kernel
+    (`ops/pbs_kernel.unfolded_rotate`) — bit-identical to the jnp path."""
+    from .ops import pbs_kernel as _pk
+    N, k = bk.N, bk.k
+    kp = _pk.get_kernel_plan(N, bk.primes, bk.l, bk.Bg_bit, k)
+    a_arr = jnp.asarray(a, TORUS_DTYPE)
+    batch = a_arr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= d
+    acc0 = jnp.broadcast_to(
+        tv.stacked(), batch + (k + 1, N)).reshape(B, k + 1, N)
+    rot = _unfold_rotations(a_arr.reshape(B, -1), bk)    # [B, G, M]
+    pad = (-B) % kp.bt
+    if pad:
+        acc0 = jnp.concatenate(
+            [acc0, jnp.zeros((pad,) + acc0.shape[1:], TORUS_DTYPE)], axis=0)
+        rot = jnp.concatenate(
+            [rot, jnp.zeros((pad,) + rot.shape[1:], jnp.int32)], axis=0)
+    acc = _pk.unfolded_rotate(acc0, rot, bk.su, kp, interpret=interpret)
+    acc = acc[:B] if pad else acc
+    return from_stacked(acc.reshape(batch + (k + 1, N)))
+
+
+def blind_rotate_unfolded(tv: TRLWE, a, bk: BootstrapKey,
+                          impl: str = "auto") -> TRLWE:
+    """Unfolded blind rotate: per u-group combine 2^u key TRGSWs with
+    X^{sum a} rotations, then a single external product
+    (`blind_rotate_unfolded`, `bootstrap.c:124-148`).
+
+    impl "auto" picks the fused Pallas kernel on TPU (the whole scan is one
+    pallas_call; see `ops/pbs_kernel.unfolded_rotate`), jnp elsewhere; both
+    are exact and bit-identical."""
+    u = bk.unfolding
+    assert u > 1
+    if impl == "auto":
+        impl = "pallas" if _pallas_eligible(bk) else "jnp"
+    if impl in ("pallas", "pallas_interpret"):
+        return _blind_rotate_unfolded_pallas(
+            tv, a, bk, interpret=(impl == "pallas_interpret"))
+    plan = bk.plan()
+    N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
+    key_exp = 1 << u
+    a_arr = jnp.asarray(a, TORUS_DTYPE)
+    batch = a_arr.shape[:-1]
+    rot = _unfold_rotations(a_arr, bk)                   # [..., n/u, 2^u]
     rot_scan = jnp.moveaxis(rot, -2, 0)                  # [n/u, ..., 2^u]
 
     def step(acc_st, xs):
@@ -322,24 +367,41 @@ def multivalue_bootstrap_phase2(lut_values, rotated: list[TRLWE],
 
 # --- UBR multi-value (`bootstrap.c:151-190`) -----------------------------------
 
-def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey) -> TRGSWDFT:
+def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey,
+                                    impl: str = "auto") -> TRGSWDFT:
     """Cache the per-group combined TRGSW products for reuse across LUTs
     (`multivalue_bootstrap_UBR_phase1`).  Returns batched TRGSW-DFT with a
-    leading [n/u] axis (and Shoup companions for phase-2 reuse)."""
+    leading [n/u] axis.
+
+    On TPU the rotate+combine+NTT runs in the fused phase-1 Pallas kernel
+    (`ops/pbs_kernel.ubr_phase1_combine`), producing u32 residues with no
+    Shoup companions (phase 2's kernel multiplies with Barrett); the jnp
+    path produces u64 residues + companions.  Values are bit-identical."""
     u = bk.unfolding
     assert u > 1
     plan = bk.plan()
-    N = bk.N
-    log_N2 = int(math.log2(2 * N))
-    key_exp = 1 << u
     a_arr = jnp.asarray(c.a, TORUS_DTYPE)
-    batch = a_arr.shape[:-1]
-    a_grp = a_arr.reshape(batch + (bk.n // u, u))
-    bits = ((jnp.arange(key_exp)[:, None] >> jnp.arange(u)[None, :]) & 1
-            ).astype(TORUS_DTYPE)
-    sums = jnp.sum(a_grp[..., :, None, :] * bits, axis=-1,
-                   dtype=TORUS_DTYPE)
-    rot = torus2int(sums, log_N2).astype(jnp.int32)      # [..., n/u, 2^u]
+    if impl == "auto":
+        impl = "pallas" if _pallas_eligible(bk) else "jnp"
+    if impl in ("pallas", "pallas_interpret"):
+        from .ops import pbs_kernel as _pk
+        kp = _pk.get_kernel_plan(bk.N, bk.primes, bk.l, bk.Bg_bit, bk.k)
+        batch = a_arr.shape[:-1]
+        B = 1
+        for d in batch:
+            B *= d
+        rot = _unfold_rotations(a_arr.reshape(B, -1), bk)  # [B, G, M]
+        G = bk.n // u
+        su_t = _pk.split_su_limbs(bk.su.reshape(
+            G, 1 << u, (bk.k + 1) * bk.l, bk.k + 1, bk.N), kp)
+        rot_t = _pk.tile_rot(rot, kp, G)
+        sa_t = _pk.ubr_phase1_combine(
+            su_t, rot_t, kp, interpret=(impl == "pallas_interpret"))
+        v = _pk.merge_phase1_out(sa_t, G)                # [B, G, J, C, P, N]
+        v = v.reshape(batch + v.shape[1:])
+        return TRGSWDFT(v=v, vs=None, l=bk.l, Bg_bit=bk.Bg_bit,
+                        primes=bk.primes)
+    rot = _unfold_rotations(a_arr, bk)                   # [..., n/u, 2^u]
     rotated = _poly.mul_by_xai(bk.su, rot[..., :, :, None, None])
     # rotated: [..., n/u, 2^u, R, k+1, N]; combine over the 2^u axis
     comb = jnp.sum(rotated, axis=-4, dtype=TORUS_DTYPE)
@@ -348,19 +410,60 @@ def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey) -> TRGSWDFT:
     return TRGSWDFT(v=v, vs=vs, l=bk.l, Bg_bit=bk.Bg_bit, primes=bk.primes)
 
 
+def _ubr_phase2_pallas(acc: TRLWE, sa: TRGSWDFT, bk: BootstrapKey,
+                       interpret: bool = False) -> TLWE:
+    """Phase-2 apply scan on the fused kernel: one ciphertext's cached sa
+    (unbatched, [G, J, C, P, N]) applied to a batch of test vectors."""
+    from .ops import pbs_kernel as _pk
+    N, k = bk.N, bk.k
+    kp = _pk.get_kernel_plan(N, bk.primes, bk.l, bk.Bg_bit, k)
+    acc_st = acc.stacked()
+    batch = acc_st.shape[:-2]
+    B = 1
+    for d in batch:
+        B *= d
+    acc0 = acc_st.reshape(B, k + 1, N)
+    pad = (-B) % kp.bt
+    if pad:
+        acc0 = jnp.concatenate(
+            [acc0, jnp.zeros((pad,) + acc0.shape[1:], TORUS_DTYPE)], axis=0)
+    sa32 = sa.v.astype(jnp.uint32)
+    out = _pk.ext_product_apply_scan(acc0, sa32, kp, per_row=False,
+                                     interpret=interpret)
+    out = out[:B] if pad else out
+    return _trlwe.extract_tlwe(
+        from_stacked(out.reshape(batch + (k + 1, N))), 0)
+
+
 def multivalue_bootstrap_UBR_phase2(tv: TRLWE, c: TLWE, sa: TRGSWDFT,
-                                    bk: BootstrapKey, torus_base: int) -> TLWE:
+                                    bk: BootstrapKey, torus_base: int,
+                                    impl: str = "auto") -> TLWE:
     """Apply the cached products to a fresh test vector
-    (`multivalue_bootstrap_UBR_phase2`, `bootstrap.c:176-190`)."""
+    (`multivalue_bootstrap_UBR_phase2`, `bootstrap.c:176-190`).
+
+    The amortized many-LUT mode: `tv` carries the LUT batch, `c`/`sa` are a
+    single ciphertext's cache.  On TPU the scan of replace-mode external
+    products runs in the fused apply kernel with Barrett multiplies."""
     N, k, l, Bg_bit = bk.N, bk.k, bk.l, bk.Bg_bit
     plan = bk.plan()
     log_N2 = int(math.log2(2 * N))
     b_int = torus2int(c.b + _prec_offset(torus_base), log_N2).astype(jnp.int32)
     acc = _trlwe.mul_by_xai(tv, 2 * N - b_int)
+    sa_unbatched = sa.v.ndim == 5
+    if impl == "auto":
+        impl = ("pallas" if _pallas_eligible(bk) and sa_unbatched
+                else "jnp")
+    if impl in ("pallas", "pallas_interpret"):
+        assert sa_unbatched, "kernel phase 2 needs an unbatched sa cache"
+        return _ubr_phase2_pallas(acc, sa, bk,
+                                  interpret=(impl == "pallas_interpret"))
     # scan over the n/u cached products (they carry the batch dims)
-    ng = bk.n // bk.unfolding
     sa_v = jnp.moveaxis(sa.v, -5, 0)                     # [n/u, ..., R, k+1, P, N]
-    sa_vs = jnp.moveaxis(sa.vs, -5, 0)
+    if sa.vs is None:
+        sa_v = sa_v.astype(TORUS_DTYPE)
+        sa_vs = _ntt.make_shoup(sa_v, plan.p[:, None])
+    else:
+        sa_vs = jnp.moveaxis(sa.vs, -5, 0)
 
     def step(acc_st, xs):
         gv, gvs = xs

@@ -93,6 +93,27 @@ def _exact(x, p: int):
     return _cond_sub(x, p)
 
 
+def _barrett_lazy(a, b, p: int, mup: int):
+    """a * b mod p in [0, 2p) for two *dynamic* u32 operands (no precomputed
+    Shoup companion) — the kernel counterpart of `ntt.barrett_mul`.
+
+    Requires a < 2p (lazy ok), b < p, and p in (2^29.2, 2^30) (asserted when
+    the plan is built).  mup = floor(2^62/p) - 2^32 (mu62 has 33 bits for
+    these primes, so it is carried as 2^32 + mup).
+
+    z = a*b < 2p^2 < 2^61; t = floor(z/2^30) < 2^31;
+    q = t + mulhi(t, mup) = floor(t * mu62 / 2^32) >= floor(z/p) - 2,
+    so r = z - q*p < 3p < 2^32 and one conditional subtraction gives [0, 2p).
+    One extra mulhi vs `_shoup_lazy`.
+    """
+    zlo = a * b
+    zhi = _mulhi32(a, b)
+    t = (zhi << _U32(2)) | (zlo >> _U32(30))
+    q = t + _mulhi32(t, _U32(mup))
+    r = zlo - q * _U32(p)          # exact: true r in [0, 3p) fits u32
+    return _cond_sub(r, 2 * p)
+
+
 # ---------------------------------------------------------------------------
 # NTT stages (lane-roll butterflies)
 # ---------------------------------------------------------------------------
@@ -254,6 +275,22 @@ class PBSKernelPlan:
         off = gadget_offset(Bg_bit, l, rounded=True)
         self.off_lo = off & 0xFFFFFFFF
         self.off_hi = off >> 32
+
+        # Constants for the dynamic-operand (Barrett) paths and the
+        # u64-limb -> centered-residue reduction used by the unfolded /
+        # UBR kernels (`ntt.barrett_mul` / `ntt.to_resi_u64` analogs).
+        self.mup = []     # [m] -> floor(2^62/p) - 2^32  (33-bit mu, low part)
+        self.red1 = []    # [m] -> floor(2^32/p)         (Shoup companion of 1)
+        self.c32 = []     # [m] -> (2^32 mod p, shoup companion)
+        self.c64m = []    # [m] -> 2^64 mod p
+        for p in self.primes:
+            mu62 = (1 << 62) // p
+            assert (1 << 32) <= mu62 < (1 << 33)
+            self.mup.append(mu62 - (1 << 32))
+            self.red1.append((1 << 32) // p)
+            c32 = (1 << 32) % p
+            self.c32.append((c32, (c32 << 32) // p))
+            self.c64m.append((1 << 64) % p)
 
 
 @functools.lru_cache(maxsize=None)
@@ -673,6 +710,527 @@ def blind_rotate_scan(acc0, a_int, keyv32, keyvs32, kp: PBSKernelPlan,
                                interpret=interpret), None
 
     out, _ = jax.lax.scan(step, tiles, (keyv32, keyvs32, a_tiles))
+    return merge_limbs(out)
+
+
+def _limbs_to_resi(lo, hi, kp: PBSKernelPlan, p_i: int):
+    """Centered residue mod p of the torus value held in u32 limbs.
+
+    (lo, hi) represent v mod 2^64 (hi is None under TORUS32: v = lo mod
+    2^32); the residue returned is that of the *centered* representative
+    v - 2^TB * [v >= 2^(TB-1)], matching `ntt.to_resi_u64`.  Output lazy in
+    [0, 2p).  Uses only Shoup multiplies with per-plan constants:
+    w=1 (reduces any u32 mod p) and w=2^32 mod p."""
+    p = kp.primes[p_i]
+    red1 = kp.red1[p_i]
+    if hi is None:
+        t0 = _shoup_lazy(lo, _U32(1), _U32(red1), p)         # lo mod p, < 2p
+        sign = lo >> _U32(31)
+        c32, _ = kp.c32[p_i]
+        adj = jnp.where(sign == _U32(1), _U32(2 * p - c32), _U32(0))
+        return _cond_sub(_cond_sub(t0, p) + adj, 2 * p)
+    c32, c32s = kp.c32[p_i]
+    t0 = _shoup_lazy(lo, _U32(1), _U32(red1), p)             # < 2p
+    t1 = _shoup_lazy(hi, _U32(c32), _U32(c32s), p)           # < 2p
+    s = _cond_sub(t0 + t1, 2 * p)                            # < 2p
+    sign = hi >> _U32(31)
+    adj = jnp.where(sign == _U32(1), _U32(2 * p - kp.c64m[p_i]), _U32(0))
+    return _cond_sub(s + adj, 2 * p)
+
+
+# ---------------------------------------------------------------------------
+# Apply kernel: scanned external products with a *dynamic* key (replace mode)
+#
+#   acc_{g+1} = SA_g (x) acc_g
+#
+# The unfolded blind rotate (`blind_rotate_unfolded`, reference
+# `src/bootstrap.c:124-148`) and the UBR multi-value phase 2
+# (`multivalue_bootstrap_UBR_phase2`, `bootstrap.c:176-190`) both reduce to
+# this: a chain of external products against per-step combined TRGSWs whose
+# values are runtime data (no precomputed Shoup companions), multiplied with
+# `_barrett_lazy`.  `per_row=True` gives every batch row its own key (the
+# batched unfolded rotate); False broadcasts one key over the batch tile
+# (one ciphertext, many LUTs — the amortized UBR mode).
+# ---------------------------------------------------------------------------
+
+def _decompose_to_digits(acc_limbs, dig_ref, kp: PBSKernelPlan):
+    """Gadget-decompose the accumulator components into dig_ref[J]."""
+    l, Bg_bit, C = kp.l, kp.Bg_bit, kp.C
+    for c in range(C):
+        alo, ahi = acc_limbs[c]
+        if kp.nl == 1:
+            lo = alo + _U32(kp.off_lo)
+            for i in range(l):
+                dig_ref[c * l + i] = _decompose_digit(lo, None, i, Bg_bit,
+                                                      tb=32)
+            continue
+        lo = alo + _U32(kp.off_lo)
+        carry = (lo < _U32(kp.off_lo)).astype(_U32)
+        hi = ahi + _U32(kp.off_hi) + carry
+        for i in range(l):
+            dig_ref[c * l + i] = _decompose_digit(lo, hi, i, Bg_bit)
+
+
+def _make_apply_kernel(kp: PBSKernelPlan, per_row: bool):
+    N, P, C, J = kp.N, kp.P, kp.C, kp.J
+    bt = kp.bt
+
+    def kernel(acc_ref, keyv_ref, ftw_ref, ftws_ref, itw_ref, itws_ref,
+               out_ref, dig_ref, spec_ref):
+        # acc_ref/out_ref: [1, nl, C, BT, N] u32
+        # keyv_ref: [1, J, C, P, BT, N] (per_row) or [J, C, P, N] (broadcast)
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+
+        acc_limbs = []
+        for c in range(C):
+            alo = acc_ref[0, 0, c]
+            ahi = acc_ref[0, 1, c] if kp.nl == 2 else None
+            acc_limbs.append((alo, ahi))
+        _decompose_to_digits(acc_limbs, dig_ref, kp)
+
+        for c in range(C):
+            for p in range(P):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+
+        def body(j, carry):
+            d = dig_ref[j]
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                for c in range(C):
+                    if per_row:
+                        kv = keyv_ref[0, j, c, p_i]          # [BT, N]
+                    else:
+                        kv = jnp.broadcast_to(
+                            keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
+                    spec_ref[c, p_i] = _cond_sub(
+                        spec_ref[c, p_i] + prod, 2 * p)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+
+        for c in range(C):
+            ts = []
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
+                                   itws_ref[p_i], liota, p, N))
+            if kp.nl == 1:
+                out_ref[0, 0, c] = _garner_limb32(ts, kp)
+                continue
+            dlo, dhi = _garner_limbs(ts, kp)
+            out_ref[0, 0, c] = dlo
+            out_ref[0, 1, c] = dhi
+
+    return kernel
+
+
+def _apply_step_tiles(acc_tiles, key_g, kp: PBSKernelPlan, per_row: bool,
+                      interpret: bool = False):
+    """One replace-mode external product on limb tiles.
+
+    acc_tiles: [nb, nl, C, BT, N] u32
+    key_g: [nb, J, C, P, BT, N] u32 (per_row) or [J, C, P, N] u32."""
+    nb = acc_tiles.shape[0]
+    N, P, C, J, bt, nl = kp.N, kp.P, kp.C, kp.J, kp.bt, kp.nl
+    S = N.bit_length() - 1
+    kernel = _make_apply_kernel(kp, per_row)
+    if per_row:
+        key_spec = pl.BlockSpec(
+            (1, J, C, P, bt, N),
+            lambda i: (i, i * 0, i * 0, i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM)
+    else:
+        key_spec = pl.BlockSpec(
+            (J, C, P, N), lambda i: (i * 0, i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nl, C, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            key_spec,
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nl, C, bt, N),
+                               lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((J, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(acc_tiles, key_g, kp.ftw, kp.ftws, kp.itw, kp.itws)
+
+
+def ext_product_apply_scan(acc0, sa32, kp: PBSKernelPlan,
+                           per_row: bool = False, interpret: bool = False):
+    """Scanned replace-mode external products: acc <- SA_g (x) acc.
+
+    acc0: [B, C, N] torus (B a multiple of the tile; pad upstream)
+    sa32: [G, J, C, P, N] u32 exact residues (broadcast over the batch), or
+          [G, B, J, C, P, N] (per-row keys, B matching acc0).
+    Bit-identical to the jnp scan in
+    `bootstrap.multivalue_bootstrap_UBR_phase2`."""
+    B = acc0.shape[0]
+    nb = B // kp.bt
+    tiles = split_limbs(acc0, kp)
+    if per_row:
+        G = sa32.shape[0]
+        J, C, P, N = kp.J, kp.C, kp.P, kp.N
+        sa32 = sa32.reshape(G, nb, kp.bt, J, C, P, N) \
+                   .transpose(0, 1, 3, 4, 5, 2, 6)    # [G, nb, J, C, P, BT, N]
+
+    def step(carry, key_g):
+        return _apply_step_tiles(carry, key_g, kp, per_row,
+                                 interpret=interpret), None
+
+    out, _ = jax.lax.scan(step, tiles, sa32)
+    return merge_limbs(out)
+
+
+# ---------------------------------------------------------------------------
+# Phase-1 kernel: rotate + combine the unfolded key products, fused NTT
+#
+#   SA_g = sum_m  SU[g, m] * X^{rot[g, m]}          (`bootstrap.c:151-175`)
+#
+# Groups ride the sublane axis (each group rotates by its own exponent — the
+# same per-row rotation machinery as the blind-rotate step); the 2^u mask
+# combinations are the innermost grid dimension, accumulated in a u32-limb
+# scratch that wraps mod 2^TB exactly; the final combination is reduced to
+# centered residues and forward-NTT'd in the same kernel invocation.
+# ---------------------------------------------------------------------------
+
+def _make_phase1_kernel(kp: PBSKernelPlan, M: int):
+    N, P, C, J = kp.N, kp.P, kp.C, kp.J
+    bt, nl = kp.bt, kp.nl
+    JC = J * C
+
+    def kernel(su_ref, rot_ref, ftw_ref, ftws_ref, out_ref, comb_ref):
+        # su_ref: [1, 1, JC, nl, GT, N] u32 limb tiles of SU[g_tile, m]
+        # rot_ref: [1, 1, 1, GT, 1] i32 rotation exponents in [0, 2N)
+        # out_ref: [1, 1, J, C, P, GT, N] u32 exact NTT-domain residues
+        # comb_ref: [JC, nl, GT, N] u32 running combination (wraps mod 2^TB)
+        m = pl.program_id(2)
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        rot_col = rot_ref[0, 0, 0]                        # [GT, 1] i32
+
+        @pl.when(m == 0)
+        def _init():
+            for jc in range(JC):
+                for li in range(nl):
+                    comb_ref[jc, li] = jnp.zeros((bt, N), _U32)
+
+        for jc in range(JC):
+            if nl == 1:
+                lo = su_ref[0, 0, jc, 0]
+                rlo = _negacyclic_rotate_limb32(lo, rot_col, liota, N)
+                comb_ref[jc, 0] = comb_ref[jc, 0] + rlo
+                continue
+            lo = su_ref[0, 0, jc, 0]
+            hi = su_ref[0, 0, jc, 1]
+            rlo, rhi = _negacyclic_rotate_limbs(lo, hi, rot_col, liota, N)
+            clo = comb_ref[jc, 0]
+            slo = clo + rlo
+            carry = (slo < clo).astype(_U32)
+            comb_ref[jc, 0] = slo
+            comb_ref[jc, 1] = comb_ref[jc, 1] + rhi + carry
+
+        @pl.when(m == M - 1)
+        def _finalize():
+            for r in range(J):
+                for c in range(C):
+                    jc = r * C + c
+                    lo = comb_ref[jc, 0]
+                    hi = comb_ref[jc, 1] if nl == 2 else None
+                    for p_i in range(P):
+                        p = kp.primes[p_i]
+                        resi = _limbs_to_resi(lo, hi, kp, p_i)
+                        out_ref[0, 0, r, c, p_i] = _exact(
+                            _fwd_ntt(resi, ftw_ref[p_i], ftws_ref[p_i],
+                                     liota, p, N), p)
+
+    return kernel
+
+
+def ubr_phase1_combine(su_tiles, rot_tiles, kp: PBSKernelPlan,
+                       interpret: bool = False):
+    """su_tiles: [nG, M, JC, nl, GT, N] u32; rot_tiles: [B, nG, M, GT, 1] i32
+    -> [B, nG, J, C, P, GT, N] u32 exact NTT-domain residues of the
+    combined TRGSWs."""
+    B, nG, M = rot_tiles.shape[0], rot_tiles.shape[1], rot_tiles.shape[2]
+    N, P, C, J, bt, nl = kp.N, kp.P, kp.C, kp.J, kp.bt, kp.nl
+    JC = J * C
+    S = N.bit_length() - 1
+    kernel = _make_phase1_kernel(kp, M)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, nG, J, C, P, bt, N), _U32),
+        grid=(B, nG, M),
+        in_specs=[
+            pl.BlockSpec((1, 1, JC, nl, bt, N),
+                         lambda b, g, m: (g, m, b * 0, b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bt, 1),
+                         lambda b, g, m: (b, g, m, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N),
+                         lambda b, g, m: (b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N),
+                         lambda b, g, m: (b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, J, C, P, bt, N),
+            lambda b, g, m: (b, g, m * 0, m * 0, m * 0, m * 0, m * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((JC, nl, bt, N), _U32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(su_tiles, rot_tiles, kp.ftw, kp.ftws)
+
+
+def split_su_limbs(su, kp: PBSKernelPlan):
+    """[G, M, J, C, N] torus -> group-tiled u32 limbs
+    [nG, M, J*C, nl, GT, N] (G padded to the tile with zeros — padded
+    groups are sliced away after phase 1)."""
+    G, M, J, C, N = su.shape
+    bt = kp.bt
+    pad = (-G) % bt
+    if pad:
+        su = jnp.concatenate(
+            [su, jnp.zeros((pad,) + su.shape[1:], su.dtype)], axis=0)
+    nG = (G + pad) // bt
+    if kp.nl == 1:
+        t = jnp.asarray(su, _U32)[None]                   # [1, G', M, J, C, N]
+    else:
+        lo = (su & jnp.uint64(0xFFFFFFFF)).astype(_U32)
+        hi = (su >> jnp.uint64(32)).astype(_U32)
+        t = jnp.stack([lo, hi])                           # [2, G', M, J, C, N]
+    t = t.reshape(kp.nl, nG, bt, M, J * C, N)
+    return t.transpose(1, 3, 4, 0, 2, 5)                  # [nG, M, JC, nl, GT, N]
+
+
+def tile_rot(rot, kp: PBSKernelPlan, G: int):
+    """rot: [B, G, M] i32 -> [B, nG, M, GT, 1] (G padded with zeros)."""
+    B, _, M = rot.shape
+    bt = kp.bt
+    pad = (-G) % bt
+    if pad:
+        rot = jnp.concatenate(
+            [rot, jnp.zeros((B, pad, M), rot.dtype)], axis=1)
+    nG = (G + pad) // bt
+    return rot.reshape(B, nG, bt, M).transpose(0, 1, 3, 2)[..., None]
+
+
+def merge_phase1_out(sa_tiles, G: int):
+    """[B, nG, J, C, P, GT, N] -> [B, G, J, C, P, N] (drop group padding)."""
+    B, nG, J, C, P, bt, N = sa_tiles.shape
+    out = sa_tiles.transpose(0, 1, 5, 2, 3, 4, 6).reshape(
+        B, nG * bt, J, C, P, N)
+    return out[:, :G]
+
+
+# ---------------------------------------------------------------------------
+# Fused unfolded blind rotate: the whole scan in ONE pallas_call
+#
+#   for g in range(n/u):   acc = (sum_m SU[g,m] X^{rot[b,g,m]}) (x) acc
+#
+# Grid (batch_tiles, groups, 2^u): the accumulator lives in VMEM across the
+# entire (groups x 2^u) subgrid of its batch tile (the out block index
+# depends only on the batch tile), the per-group combination accumulates in
+# scratch over the innermost 2^u grid steps, and the external product +
+# replace happens at the last combination step.  Matches
+# `blind_rotate_unfolded` (`/root/reference/src/bootstrap.c:124-148`)
+# bit-exactly vs the jnp path.
+# ---------------------------------------------------------------------------
+
+def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
+    N, P, C, J = kp.N, kp.P, kp.C, kp.J
+    bt, nl = kp.bt, kp.nl
+    JC = J * C
+
+    def kernel(acc_ref, su_ref, rot_ref, ftw_ref, ftws_ref, itw_ref,
+               itws_ref, out_ref, comb_ref, keyspec_ref, dig_ref, spec_ref):
+        # acc_ref/out_ref: [1, nl, C, BT, N] u32 (out is the live state)
+        # su_ref: [1, 1, JC, nl, N] u32; rot_ref: [1, 1, 1, BT, 1] i32
+        # comb_ref: [JC, nl, BT, N]; keyspec_ref: [J, C, P, BT, N]
+        g = pl.program_id(1)
+        m = pl.program_id(2)
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        rot_col = rot_ref[0, 0, 0]                        # [BT, 1] i32
+
+        @pl.when((g == 0) & (m == 0))
+        def _seed():
+            for li in range(nl):
+                for c in range(C):
+                    out_ref[0, li, c] = acc_ref[0, li, c]
+
+        @pl.when(m == 0)
+        def _init():
+            for jc in range(JC):
+                for li in range(nl):
+                    comb_ref[jc, li] = jnp.zeros((bt, N), _U32)
+
+        # -- rotate this mask combination's TRGSW into the running sum ----
+        for jc in range(JC):
+            if nl == 1:
+                lo = jnp.broadcast_to(su_ref[0, 0, jc, 0:1, :], (bt, N))
+                rlo = _negacyclic_rotate_limb32(lo, rot_col, liota, N)
+                comb_ref[jc, 0] = comb_ref[jc, 0] + rlo
+                continue
+            lo = jnp.broadcast_to(su_ref[0, 0, jc, 0:1, :], (bt, N))
+            hi = jnp.broadcast_to(su_ref[0, 0, jc, 1:2, :], (bt, N))
+            rlo, rhi = _negacyclic_rotate_limbs(lo, hi, rot_col, liota, N)
+            clo = comb_ref[jc, 0]
+            slo = clo + rlo
+            carry = (slo < clo).astype(_U32)
+            comb_ref[jc, 0] = slo
+            comb_ref[jc, 1] = comb_ref[jc, 1] + rhi + carry
+
+        @pl.when(m == M - 1)
+        def _apply():
+            # combined TRGSW -> exact NTT-domain key
+            for r in range(J):
+                for c in range(C):
+                    jc = r * C + c
+                    lo = comb_ref[jc, 0]
+                    hi = comb_ref[jc, 1] if nl == 2 else None
+                    for p_i in range(P):
+                        p = kp.primes[p_i]
+                        resi = _limbs_to_resi(lo, hi, kp, p_i)
+                        keyspec_ref[r, c, p_i] = _exact(
+                            _fwd_ntt(resi, ftw_ref[p_i], ftws_ref[p_i],
+                                     liota, p, N), p)
+            # external product against the live accumulator (replace mode)
+            acc_limbs = []
+            for c in range(C):
+                alo = out_ref[0, 0, c]
+                ahi = out_ref[0, 1, c] if nl == 2 else None
+                acc_limbs.append((alo, ahi))
+            _decompose_to_digits(acc_limbs, dig_ref, kp)
+            for c in range(C):
+                for p in range(P):
+                    spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+
+            def body(j, carry):
+                d = dig_ref[j]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    rr = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                    s_ = _fwd_ntt(rr, ftw_ref[p_i], ftws_ref[p_i], liota,
+                                  p, N)
+                    for c in range(C):
+                        kv = keyspec_ref[j, c, p_i]
+                        prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
+                        spec_ref[c, p_i] = _cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+                return carry
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+
+            for c in range(C):
+                ts = []
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
+                                       itws_ref[p_i], liota, p, N))
+                if nl == 1:
+                    out_ref[0, 0, c] = _garner_limb32(ts, kp)
+                    continue
+                dlo, dhi = _garner_limbs(ts, kp)
+                out_ref[0, 0, c] = dlo
+                out_ref[0, 1, c] = dhi
+
+    return kernel
+
+
+def unfolded_rotate(acc0, rot, su, kp: PBSKernelPlan,
+                    interpret: bool = False):
+    """The full unfolded blind rotate in one fused kernel.
+
+    acc0: [B, C, N] torus (B a multiple of the tile; pad upstream)
+    rot:  [B, G, M] i32 rotation exponents in [0, 2N)
+    su:   [G, M, J, C, N] torus time-domain key products (bk.su)
+    Returns [B, C, N] torus."""
+    B, C, N = acc0.shape
+    G, M = su.shape[0], su.shape[1]
+    P, J, bt, nl = kp.P, kp.J, kp.bt, kp.nl
+    JC = J * C
+    S = N.bit_length() - 1
+    nb = B // bt
+    tiles = split_limbs(acc0, kp)                         # [nb, nl, C, BT, N]
+    if nl == 1:
+        su32 = jnp.asarray(su, _U32)[..., None, :]        # [G, M, J, C, 1, N]
+        su32 = su32.reshape(G, M, JC, 1, N)
+    else:
+        lo = (su & jnp.uint64(0xFFFFFFFF)).astype(_U32)
+        hi = (su >> jnp.uint64(32)).astype(_U32)
+        su32 = jnp.stack([lo, hi], axis=-2)               # [G, M, J, C, nl, N]
+        su32 = su32.reshape(G, M, JC, nl, N)
+    rot_t = rot.reshape(nb, bt, G, M).transpose(0, 2, 3, 1)[..., None]
+    kernel = _make_unfolded_kernel(kp, M)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid=(nb, G, M),
+        in_specs=[
+            pl.BlockSpec((1, nl, C, bt, N),
+                         lambda b, g, m: (b, b * 0, b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, JC, nl, N),
+                         lambda b, g, m: (g, m, b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bt, 1),
+                         lambda b, g, m: (b, g, m, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N),
+                         lambda b, g, m: (b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N),
+                         lambda b, g, m: (b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N),
+                         lambda b, g, m: (b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N),
+                         lambda b, g, m: (b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nl, C, bt, N),
+            lambda b, g, m: (b, g * 0, g * 0, g * 0, g * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((JC, nl, bt, N), _U32),
+            pltpu.VMEM((J, C, P, bt, N), _U32),
+            pltpu.VMEM((J, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(tiles, su32, rot_t, kp.ftw, kp.ftws, kp.itw, kp.itws)
     return merge_limbs(out)
 
 

@@ -1,0 +1,150 @@
+"""The unfolded/UBR Pallas kernels must be bit-identical to the jnp paths.
+
+Covers (in Pallas interpreter mode on the CPU test platform):
+- the u32 Barrett primitive `_barrett_lazy` against exact integer products,
+- the fused unfolded blind rotate (`ops/pbs_kernel.unfolded_rotate`) vs
+  `blind_rotate_unfolded(impl="jnp")` (reference `bootstrap.c:124-148`),
+- the UBR phase-1 combine kernel vs the jnp phase 1,
+- the UBR phase-2 apply scan vs the jnp phase 2 (`bootstrap.c:151-190`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
+from mosfhet_tpu import ntt as _ntt
+from mosfhet_tpu.ops import pbs_kernel as pk
+
+KEY = jax.random.PRNGKey(777)
+
+P_UNFOLD = params.TFHEParams(
+    n=8, N=128, k=1, l=2, Bg_bit=10, t=6, base_bit=4,
+    lwe_sigma=2.0**-28, rlwe_sigma=2.0**-44, name="UNFOLD_TEST",
+)
+
+
+def setup(seed, unfolding, p=P_UNFOLD):
+    k0, k1, k2 = jax.random.split(jax.random.fold_in(KEY, seed), 3)
+    key_tlwe = tlwe.new_binary_key(k0, p.n, p.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(k1, p.N, p.k, p.rlwe_sigma)
+    key_out = trlwe.extract_tlwe_key(key_trlwe)
+    gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
+    bk = bootstrap.new_key(k2, gk, key_tlwe, unfolding)
+    return key_tlwe, key_out, bk
+
+
+def test_barrett_lazy_exact():
+    """_barrett_lazy against big-int products at every master prime."""
+    rng_np = np.random.default_rng(5)
+    for p in _ntt.MASTER_PRIMES:
+        mu62 = (1 << 62) // p
+        mup = mu62 - (1 << 32)
+        a = rng_np.integers(0, 2 * p, size=4096, dtype=np.uint32)
+        b = rng_np.integers(0, p, size=4096, dtype=np.uint32)
+        got = np.asarray(
+            pk._barrett_lazy(jnp.asarray(a), jnp.asarray(b), p, mup))
+        want = (a.astype(np.uint64) * b.astype(np.uint64)) % p
+        assert np.all(got < 2 * p)
+        np.testing.assert_array_equal(got % p, want)
+
+
+def test_limbs_to_resi_exact():
+    """Centered u64-limb reduction matches ntt.to_resi_u64."""
+    kp = pk.get_kernel_plan(128, _ntt.DEFAULT_PRIMES, 2, 10, 1)
+    plan = _ntt.get_plan(128, _ntt.DEFAULT_PRIMES)
+    rng_np = np.random.default_rng(6)
+    x = jnp.asarray(
+        rng_np.integers(0, 1 << 64, size=(8, 128), dtype=np.uint64))
+    want = np.asarray(_ntt.to_resi_u64(x, plan))         # [8, P, 128]
+    lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+    for p_i in range(kp.P):
+        got = np.asarray(pk._limbs_to_resi(lo, hi, kp, p_i))
+        p = kp.primes[p_i]
+        assert np.all(got < 2 * p)
+        np.testing.assert_array_equal(got % p, want[:, p_i, :] % p)
+
+
+@pytest.mark.parametrize("u", [2, 4])
+def test_unfolded_rotate_kernel_bit_exact(u):
+    """Fused unfolded blind rotate == jnp path, incl. batch padding."""
+    key_tlwe, key_out, bk = setup(10 + u, unfolding=u)
+    luts = rng.uniform_torus(jax.random.fold_in(KEY, 20 + u), (4,))
+    tv = trlwe.torus_packing(luts, P_UNFOLD.k, P_UNFOLD.N)
+    ms = torus.double2torus(jnp.arange(5) % 4 / 8.0)     # batch 5: pad path
+    cs = tlwe.encrypt(ms, key_tlwe, jax.random.fold_in(KEY, 30 + u))
+    log_N2 = P_UNFOLD.log_N2
+    b_int = torus.torus2int(
+        cs.b + bootstrap._prec_offset(4), log_N2).astype(jnp.int32)
+    acc = trlwe.mul_by_xai(tv, 2 * P_UNFOLD.N - b_int)
+    want = bootstrap.blind_rotate_unfolded(acc, cs.a, bk, impl="jnp")
+    got = bootstrap.blind_rotate_unfolded(acc, cs.a, bk,
+                                          impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+
+
+def test_ubr_phase1_kernel_bit_exact():
+    """Phase-1 combine kernel == jnp phase 1 (values; kernel emits u32)."""
+    u = 2
+    key_tlwe, key_out, bk = setup(40, unfolding=u)
+    m = torus.double2torus(2 / 8.0)
+    c = tlwe.encrypt(m, key_tlwe, jax.random.fold_in(KEY, 41))
+    want = bootstrap.multivalue_bootstrap_UBR_phase1(c, bk, impl="jnp")
+    got = bootstrap.multivalue_bootstrap_UBR_phase1(
+        c, bk, impl="pallas_interpret")
+    assert got.vs is None
+    np.testing.assert_array_equal(
+        np.asarray(want.v, dtype=np.uint64),
+        np.asarray(got.v, dtype=np.uint64))
+
+
+def test_ubr_phase2_kernel_bit_exact():
+    """Phase-2 apply scan == jnp phase 2 on a batch of LUT test vectors."""
+    u = 2
+    key_tlwe, key_out, bk = setup(50, unfolding=u)
+    m = torus.double2torus(1 / 8.0)
+    c = tlwe.encrypt(m, key_tlwe, jax.random.fold_in(KEY, 51))
+    sa = bootstrap.multivalue_bootstrap_UBR_phase1(c, bk, impl="jnp")
+    # batch of 3 different LUTs (non-multiple of the kernel tile: pad path)
+    luts = rng.uniform_torus(jax.random.fold_in(KEY, 52), (3, 4))
+    tv = trlwe.torus_packing(luts, P_UNFOLD.k, P_UNFOLD.N)
+    want = bootstrap.multivalue_bootstrap_UBR_phase2(
+        tv, c, sa, bk, 4, impl="jnp")
+    got = bootstrap.multivalue_bootstrap_UBR_phase2(
+        tv, c, sa, bk, 4, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    # and the phase-1-kernel -> phase-2-kernel composition decrypts
+    sa_k = bootstrap.multivalue_bootstrap_UBR_phase1(
+        c, bk, impl="pallas_interpret")
+    got2 = bootstrap.multivalue_bootstrap_UBR_phase2(
+        tv, c, sa_k, bk, 4, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got2.a))
+    ph = np.asarray(tlwe.phase(got2, key_out), dtype=np.uint64)
+    wantv = np.asarray(luts, dtype=np.uint64)[:, 1]      # slot of m=1/8
+    err = np.abs((ph - wantv).view(np.int64).astype(np.float64))
+    assert err.max() <= float(1 << 58)
+
+
+def test_unfolded_bootstrap_e2e_kernel():
+    """functional_bootstrap through the fused unfolded kernel decrypts."""
+    u = 4
+    key_tlwe, key_out, bk = setup(60, unfolding=u)
+    luts = rng.uniform_torus(jax.random.fold_in(KEY, 61), (4,))
+    tv = trlwe.torus_packing(luts, P_UNFOLD.k, P_UNFOLD.N)
+    ms = torus.double2torus(jnp.arange(4) / 8.0)
+    cs = tlwe.encrypt(ms, key_tlwe, jax.random.fold_in(KEY, 62))
+    log_N2 = P_UNFOLD.log_N2
+    b_int = torus.torus2int(
+        cs.b + bootstrap._prec_offset(4), log_N2).astype(jnp.int32)
+    acc = trlwe.mul_by_xai(tv, 2 * P_UNFOLD.N - b_int)
+    rot = bootstrap.blind_rotate_unfolded(acc, cs.a, bk,
+                                          impl="pallas_interpret")
+    out = trlwe.extract_tlwe(rot, 0)
+    ph = np.asarray(tlwe.phase(out, key_out), dtype=np.uint64)
+    want = np.asarray(luts, dtype=np.uint64)
+    err = np.abs((ph - want).view(np.int64).astype(np.float64))
+    assert err.max() <= float(1 << 58)
