@@ -273,3 +273,268 @@ def import_mosfhet_tlwe_ks_key(f):
     return TLWEKSKey(a=jnp.asarray(raw[..., :n_out]),
                      b=jnp.asarray(raw[..., n_out]),
                      t=t, base_bit=base_bit)
+
+
+# -------------------------------------------------------------------------
+# FFNT f64-DFT wire format (the reference's portable-build DFT layout)
+#
+# The reference saves TRLWE-KS keys and unfold-1 bootstrap keys with their
+# polynomials in the FFT backend's f64 DFT domain (`keyswitch.c:122-159`,
+# `bootstrap.c:63-79`).  For the FFNT backend (`src/fft/ffnt/ffnt.c`), a
+# DFT_Polynomial of N doubles holds N/2 complex values re[0:N/2], im[N/2:N];
+# slot j evaluates the polynomial at psi^(e_j), psi = exp(i*pi/N), where the
+# odd exponents e_j follow the Gentleman-Sande no-bit-reversal output order.
+# The closed form below was fitted against reference-generated probe
+# transforms and verified exactly at N=256 and N=2048
+# (tests/vectors/v2_dft_probe*.bin).
+#
+# Conversion back to integer coefficients is exact for key material (small
+# values) and exact-to-f64-representation for torus-sized values — the same
+# precision the reference itself retains for DFT-stored keys.
+# -------------------------------------------------------------------------
+
+def _ffnt_slot_exponents(N: int) -> np.ndarray:
+    """e_j (odd, mod 2N) for slots j < N/2 of the FFNT DFT layout."""
+    half = N // 2
+    bits = half.bit_length() - 1
+
+    def br(x):
+        r = 0
+        for _ in range(bits):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        return r
+
+    es = np.zeros(half, dtype=np.int64)
+    for j in range(half):
+        if j == 0:
+            jp = 0
+        else:
+            m = j.bit_length() - 1          # dyadic block [2^m, 2^(m+1))
+            jp = (1 << m) + ((1 << (m + 1)) - 1 - j)
+        es[j] = 4 * br(jp) + 1
+    return es
+
+
+_FFNT_CACHE = {}
+
+
+def _ffnt_matrix(N: int) -> np.ndarray:
+    """[N/2, N] complex: M[j, k] = psi^(e_j * k)."""
+    if N not in _FFNT_CACHE:
+        es = _ffnt_slot_exponents(N)
+        ks = np.arange(N)
+        _FFNT_CACHE[N] = np.exp(1j * np.pi * np.outer(es, ks) / N)
+    return _FFNT_CACHE[N]
+
+
+def torus_to_ffnt_dft(p) -> np.ndarray:
+    """u64 torus coefficients [..., N] -> FFNT DFT doubles [..., N]
+    (`execute_reverse_torus64`, `ffnt.c:820-831`: signed reinterpretation
+    then the twisted forward transform)."""
+    p = np.asarray(p, dtype=np.uint64)
+    N = p.shape[-1]
+    a = p.view(np.int64).astype(np.float64)
+    z = a @ _ffnt_matrix(N).T                 # [..., N/2] complex
+    return np.concatenate([z.real, z.imag], axis=-1)
+
+
+def ffnt_dft_to_torus(d) -> np.ndarray:
+    """FFNT DFT doubles [..., N] -> u64 torus coefficients [..., N].
+
+    Inverse evaluation (a_k = (2/N) sum_j Re(z_j psi^(-e_j k))), rounded to
+    the nearest integer mod 2^64 — recovers the reference's effective
+    coefficients to within its own f64 precision."""
+    d = np.asarray(d, dtype=np.float64)
+    N = d.shape[-1]
+    z = d[..., :N // 2] + 1j * d[..., N // 2:]
+    a = (2.0 / N) * (z @ np.conj(_ffnt_matrix(N)))
+    # centered values in (-2^63, 2^63): two's-complement reinterpret
+    return np.round(a.real).astype(np.int64).astype(np.uint64)
+
+
+def import_mosfhet_trlwe_dft(f, k: int, N: int):
+    """`trlwe_save_DFT_sample` (portable/FFNT build): k+1 DFT polynomials
+    of N doubles -> time-domain TRLWE."""
+    from .trlwe import TRLWE
+    d = np.frombuffer(f.read(8 * (k + 1) * N), dtype="<f8").reshape(k + 1, N)
+    coeffs = ffnt_dft_to_torus(d)
+    return TRLWE(a=jnp.asarray(coeffs[:k]), b=jnp.asarray(coeffs[k]))
+
+
+def export_mosfhet_trlwe_dft(f, c):
+    """Write a TRLWE in the reference's FFNT DFT-sample layout."""
+    st = np.concatenate([np.asarray(c.a, np.uint64),
+                         np.asarray(c.b, np.uint64)[None]], axis=0)
+    f.write(np.ascontiguousarray(
+        torus_to_ffnt_dft(st).astype("<f8")).tobytes())
+
+
+def import_mosfhet_trlwe_ks_key(f):
+    """`trlwe_save_KS_key` (`keyswitch.c:122-141`): ints base_bit, t, k_in,
+    k, N then k_in*t TRLWE DFT samples.
+
+    (The reference's save loop iterates the *output* k while its load
+    iterates k_in — identical for every real use, where k_in == k.)"""
+    from . import keyswitch as _ks
+    base_bit, t, k_in, k, N = _read(f, "<iiiii")
+    from . import ntt as _ntt2
+    plan = _ks._ks_plan(N, base_bit, t, k_in * t)
+    rows = []
+    for _ in range(k_in):
+        per_t = [import_mosfhet_trlwe_dft(f, k, N) for _ in range(t)]
+        rows.append(np.stack([
+            np.concatenate([np.asarray(c.a, np.uint64),
+                            np.asarray(c.b, np.uint64)[None]], axis=0)
+            for c in per_t]))
+    st = jnp.asarray(np.stack(rows))              # [k_in, t, k+1, N]
+    v = _ntt2.to_ntt_u64(st, plan)
+    vs = _ntt2.make_shoup(v, plan.p[:, None])
+    return _ks.TRLWEKSKey(v=v, vs=vs, t=t, base_bit=base_bit,
+                          primes=plan.primes)
+
+
+def export_mosfhet_trlwe_ks_key(f, ksk):
+    """Write a TRLWEKSKey in the reference's format (FFNT DFT samples)."""
+    from . import ntt as _ntt2
+    plan = ksk.plan()
+    st = np.asarray(_ntt2.from_ntt_u64(ksk.v, plan))   # [k_in, t, k+1, N]
+    k_in, t = st.shape[0], st.shape[1]
+    k, N = st.shape[2] - 1, st.shape[3]
+    f.write(struct.pack("<iiiii", ksk.base_bit, t, k_in, k, N))
+    for i in range(k_in):
+        for j in range(t):
+            f.write(np.ascontiguousarray(
+                torus_to_ffnt_dft(st[i, j]).astype("<f8")).tobytes())
+
+
+def _read_compressed_trlwe_batch(f, count: int, k: int, N: int, prng: str,
+                                 aes_key: bytes | None = None):
+    """Read `count` compressed TRLWE samples (16-byte seed + b[N]) and
+    expand their masks, returning stacked [count, k+1, N] u64."""
+    from . import seeded as _seeded
+    from .seeded import MosfhetSeededTRLWE
+    out = np.zeros((count, k + 1, N), dtype=np.uint64)
+    for i in range(count):
+        seed = np.frombuffer(f.read(16), dtype=np.uint8).copy()
+        b = _read_u64(f, N).copy()
+        if prng == "vaes":
+            a = _expand_aes_mask(seed.tobytes(), aes_key, k, N)
+        else:
+            c = MosfhetSeededTRLWE(seed=jnp.asarray(seed),
+                                   b=jnp.asarray(b), k=k, prng=prng)
+            a = np.asarray(_seeded.expand_mosfhet(c).a, np.uint64)
+        out[i, :k] = a
+        out[i, k] = b
+    return out
+
+
+def import_mosfhet_packing_ks_key(f, prng: str = "shake",
+                                  aes_key: bytes | None = None):
+    """`trlwe_save_packing_KS_key` (`keyswitch.c:272-289`): ints base_bit,
+    t, torus_base, n, k, N then n*torus_base*t*(base-1) compressed TRLWE
+    samples (the reference's USE_COMPRESSED_TRLWE builds)."""
+    from .keyswitch import LUTPackingKSKey
+    base_bit, t, torus_base, n, k, N = _read(f, "<iiiiii")
+    base = 1 << base_bit
+    count = n * torus_base * t * (base - 1)
+    tab = _read_compressed_trlwe_batch(f, count, k, N, prng, aes_key)
+    tab = tab.reshape(n, torus_base, t, base - 1, k + 1, N)
+    return LUTPackingKSKey(table=jnp.asarray(tab), t=t, base_bit=base_bit,
+                           torus_base=torus_base)
+
+
+def import_mosfhet_generic_ks_key(f, prng: str = "shake",
+                                  aes_key: bytes | None = None):
+    """`trlwe_save_generic_ks_key` (`keyswitch.c:409-424`): ints base_bit,
+    t, n, k, N, include_b then (n+include_b)*t*(base-1) compressed TRLWE
+    samples."""
+    from .keyswitch import GenericKSKey
+    base_bit, t, n, k, N, include_b = _read(f, "<iiiiii")
+    base = 1 << base_bit
+    count = (n + include_b) * t * (base - 1)
+    tab = _read_compressed_trlwe_batch(f, count, k, N, prng, aes_key)
+    tab = tab.reshape(n + include_b, t, base - 1, k + 1, N)
+    return GenericKSKey(table=jnp.asarray(tab), t=t, base_bit=base_bit,
+                        include_b=bool(include_b))
+
+
+def _expand_aes_mask(seed: bytes, aes_key: bytes, k: int, N: int):
+    """AES-CTR mask expansion (`trlwe_compressed_vaes.c:62-87` +
+    `aes_rng.c:128-149`): block j of component i is
+    AES128_Enc(process_key, seed_lo || LE64(seed_hi + i*N/2 + j)).
+
+    The reference's A_PRNG=vaes build derives the keystream from a *global
+    process key* (seed only seeds the counter), so cross-process import
+    additionally needs that key — pass it as `aes_key` (an application
+    fixes it via `setup_aes_prgn_key`)."""
+    from . import native as _native
+    assert aes_key is not None and len(aes_key) == 16, \
+        "vaes-mode samples need the 16-byte process AES key"
+    masks = np.zeros((k, N), dtype=np.uint64)
+    for i in range(k):
+        iv = bytearray(seed)
+        hi = int.from_bytes(iv[8:16], "little")
+        hi = (hi + i * (N // 2)) & ((1 << 64) - 1)
+        iv[8:16] = hi.to_bytes(8, "little")
+        ks = _native.aes128_ctr_le(aes_key, bytes(iv), N // 2)
+        masks[i] = np.frombuffer(ks, dtype="<u8", count=N)
+    return masks
+
+
+def import_mosfhet_compressed_trlwe_vaes(f, k: int, N: int, aes_key: bytes):
+    """AES-CTR-mode compressed sample (`trlwe_compressed_vaes.c:44-59`):
+    seed field + u64 b[N], expanded immediately to a full TRLWE.
+
+    Quirk: the vaes build's save writes `ID_SIZE` *Torus elements* (128
+    bytes) for the 16-byte seed (`fwrite(..., sizeof(Torus), ID_SIZE, ...)`,
+    `trlwe_compressed_vaes.c:57-59`) — only the first 16 bytes are the
+    seed; the rest is the writer's adjacent heap memory."""
+    from .trlwe import TRLWE
+    seed = f.read(128)[:16]
+    b = _read_u64(f, N).copy()
+    a = _expand_aes_mask(seed, aes_key, k, N)
+    return TRLWE(a=jnp.asarray(a), b=jnp.asarray(b))
+
+
+def export_mosfhet_bootstrap_key(f, bk):
+    """`save_bootstrap_key` (`bootstrap.c:63-79`): ints n, l, k, N, Bg_bit,
+    unfolding; unfold=1 keys as DFT TRGSWs (FFNT layout), unfold>=2 keys as
+    time-domain TRGSWs."""
+    from . import ntt as _ntt2
+    f.write(struct.pack("<iiiiii", bk.n, bk.l, bk.k, bk.N, bk.Bg_bit,
+                        bk.unfolding))
+    if bk.unfolding == 1:
+        plan = bk.plan()
+        rows = np.asarray(_ntt2.garner_u64(
+            _ntt2.inverse_ntt(jnp.asarray(bk.v), plan), plan),
+            np.uint64)                         # [n, (k+1)l, k+1, N]
+        for i in range(rows.shape[0]):
+            f.write(np.ascontiguousarray(
+                torus_to_ffnt_dft(rows[i]).astype("<f8")).tobytes())
+        return
+    su = np.asarray(bk.su, np.uint64)
+    _write_u64(f, su)
+
+
+def import_mosfhet_bootstrap_key_dft(f):
+    """`load_new_bootstrap_key` for unfold=1 (DFT-format) keys: recover the
+    time-domain TRGSW rows from the FFNT DFT samples and rebuild the
+    NTT-form key."""
+    from . import ntt as _ntt
+    from .bootstrap import BootstrapKey
+    n, l, k, N, Bg_bit, unfolding = _read(f, "<iiiiii")
+    assert unfolding == 1
+    R = (k + 1) * l
+    rows = np.zeros((n, R, k + 1, N), dtype=np.uint64)
+    for i in range(n):
+        d = np.frombuffer(f.read(8 * R * (k + 1) * N),
+                          dtype="<f8").reshape(R, k + 1, N)
+        rows[i] = ffnt_dft_to_torus(d)
+    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), R)
+    primes = _ntt.primes_for_bound(bound)
+    plan = _ntt.get_plan(N, primes)
+    v = _ntt.to_ntt_u64(jnp.asarray(rows), plan)
+    vs = _ntt.make_shoup(v, plan.p[:, None])
+    return BootstrapKey(v=v, vs=vs, su=None, n=n, k=k, N=N, l=l,
+                        Bg_bit=Bg_bit, unfolding=1, primes=primes)

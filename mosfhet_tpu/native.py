@@ -53,9 +53,10 @@ def _load():
         fn = getattr(lib, name)
         fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
-    lib.mosfhet_aes128_ctr.argtypes = [
-        ctypes.c_char_p, ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+    for name in ("mosfhet_aes128_ctr", "mosfhet_aes128_ctr_le"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
     _lib = lib
     return _lib
 
@@ -165,4 +166,17 @@ def aes128_ctr(key: bytes, iv: bytes, nblocks: int) -> bytes:
     lib.mosfhet_aes128_ctr(key, iv,
                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                            nblocks)
+    return out.tobytes()
+
+
+def aes128_ctr_le(key: bytes, iv: bytes, nblocks: int) -> bytes:
+    """MOSFHET A_PRNG=vaes keystream: counter's high u64 incremented
+    little-endian (`src/rnd/aes_rng.c:128-149`)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError(
+            "AES-CTR requires the native library (make -C native)")
+    out = np.zeros(nblocks * 16, np.uint8)
+    lib.mosfhet_aes128_ctr_le(
+        key, iv, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nblocks)
     return out.tobytes()

@@ -212,6 +212,64 @@ def mul_trgsw_dft(g1: TRGSW, g2: TRGSWDFT) -> TRGSWDFT:
                     primes=g2.primes)
 
 
+def mul_trgsw_dft2(g1: TRGSWDFT, g2: TRGSWDFT) -> TRGSWDFT:
+    """TRGSW x TRGSW with both operands in NTT form: convert g1 back to
+    time domain, then the row-wise external product (`trgsw_mul_DFT2`,
+    `trgsw.c:433-442`)."""
+    return mul_trgsw_dft(from_dft(g1), g2)
+
+
+def ks_b_to_a(g: TRGSW, ksk_pair) -> TRGSW:
+    """Rebuild the component-0 (a-side) rows of a TRGSW from its
+    component-1 (b-side) rows via the TRLWE private-KS pair
+    (`trgsw_ks_b_to_a`, `trgsw.c:479-483`).  k must be 1."""
+    from . import keyswitch as _ks
+    l = g.l
+    assert g.k == 1, "ks_b_to_a mirrors the reference's k=1 layout"
+    b_rows = from_stacked(g.rows[..., l:2 * l, :, :])     # TRLWE, batch [.., l]
+    a_rows = _ks.priv_keyswitch_2(b_rows, ksk_pair)
+    rows = jnp.concatenate(
+        [a_rows.stacked(), g.rows[..., l:2 * l, :, :]], axis=-3)
+    return TRGSW(rows=rows, l=l, Bg_bit=g.Bg_bit)
+
+
+def debug_decrypt_exp(g: TRGSW, key: TRGSWKey):
+    """Decrypt the exponent of a TRGSW(X^e): scan the phase of row `l`
+    (digit 0 of the b component) for the unique above-threshold monomial
+    (`_debug_trgsw_decrypt_exp_sample`, `trgsw.c:189-216`).
+
+    Returns int32 e in [0, N) or -1 (none or ambiguous) — the reference's
+    test oracle for register/GA exponent arithmetic.  Batched over leading
+    axes of g."""
+    l, Bg_bit = g.l, g.Bg_bit
+    row = from_stacked(g.rows[..., l, :, :])              # TRLWE row l
+    ph = _trlwe.phase(row, key.trlwe_key)                 # [..., N]
+    delta = TORUS_DTYPE(1 << (TORUS_BITS - 1 - Bg_bit))
+    mask = (ph > delta) & (ph < (TORUS_DTYPE(0) - delta))
+    count = jnp.sum(mask, axis=-1)
+    idx = jnp.argmax(mask, axis=-1).astype(jnp.int32)
+    return jnp.where(count == 1, idx, jnp.int32(-1))
+
+
+def debug_decrypt_exp_dft(g: TRGSWDFT, key: TRGSWKey):
+    """Exponent decrypt for NTT-form TRGSW: external product against a
+    trivial TRLWE(h X^0) then the same unique-monomial scan
+    (`_debug_trgsw_decrypt_exp_DFT_sample`, `trgsw.c:240-268`)."""
+    k, N = key.trlwe_key.k, key.trlwe_key.N
+    Bg_bit = g.Bg_bit
+    b = jnp.zeros((N,), TORUS_DTYPE).at[0].set(
+        TORUS_DTYPE(1 << (TORUS_BITS - Bg_bit)))
+    tmp = _trlwe.noiseless_trivial(b, k, N)
+    gg = g if g.vs is not None else _with_shoup(g)
+    res = external_product(tmp, gg)
+    ph = _trlwe.phase(res, key.trlwe_key)
+    delta = TORUS_DTYPE(1 << (TORUS_BITS - 1 - Bg_bit))
+    mask = (ph > delta) & (ph < (TORUS_DTYPE(0) - delta))
+    count = jnp.sum(mask, axis=-1)
+    idx = jnp.argmax(mask, axis=-1).astype(jnp.int32)
+    return jnp.where(count == 1, idx, jnp.int32(-1))
+
+
 def naive_mul_trlwe(c: TRLWE, g: TRGSW) -> TRLWE:
     """O(N^2) oracle (`trgsw_naive_mul_trlwe`, `trgsw.c:452-470`).
     Test-only."""

@@ -99,3 +99,20 @@ extern "C" void mosfhet_aes128_ctr(const uint8_t key[16], const uint8_t iv[16],
     }
   }
 }
+
+// MOSFHET's A_PRNG=vaes counter convention (`src/rnd/aes_rng.c:128-149`):
+// the counter block's HIGH u64 (bytes 8..15) is incremented as a
+// little-endian integer (`_mm_add_epi64` on the high lane).
+extern "C" void mosfhet_aes128_ctr_le(const uint8_t key[16],
+                                      const uint8_t iv[16], uint8_t *out,
+                                      size_t nblocks) {
+  AES128 aes(key);
+  uint8_t ctr[16];
+  std::memcpy(ctr, iv, 16);
+  for (size_t b = 0; b < nblocks; b++) {
+    aes.encrypt_block(ctr, out + 16 * b);
+    for (int i = 8; i < 16; i++) {    // little-endian increment, high u64
+      if (++ctr[i] != 0) break;
+    }
+  }
+}

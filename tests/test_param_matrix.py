@@ -1,0 +1,300 @@
+"""Parameter-set pass/fail matrix with expected failures (SURVEY §4.5).
+
+The reference hard-codes SET_1/2/3 (eprint 2022/704 table 4) and the TFHEpp
+Level-2 default, and *expects* many tests to fail per set
+(`/root/reference/test/tests.c:36-63`, `README.md:83`): measured there,
+SET_2 passes 31/41 — the 10 failures are the deep-noise-budget ops that
+l=1 / Bg=23 decomposition cannot support (tlwe_mul, trgsw_mul, circuit
+bootstrap, FDFB variants, TRGSW/GA bootstrap, priv-KS packing).
+
+This module makes that behavior an explicit, deterministic matrix.  CPU CI
+cannot run N=2048 u64-emulated bootstraps, so each set is *scaled*
+(n=16, N=256) while keeping the parameters that set the noise budget:
+l, Bg_bit, t, base_bit and both sigmas.  The expected outcomes below were
+calibrated once with these fixed seeds (the counter PRNG makes every run
+bit-identical) and reproduce the reference's qualitative matrix: the same
+op families fail on SET_2/SET_3-style decompositions and pass on
+SET_1/L2-style ones.  Any noise regression flips an entry and fails CI —
+in either direction (an expected-fail op that starts passing is also
+flagged, like a strict xfail).
+
+The full-scale matrix at the reference's exact parameters runs on TPU
+hardware via `benchmarks/param_matrix.py` (perf) and
+`MOSFHET_FULL_MATRIX=1 python -m pytest tests/test_param_matrix.py` (uses
+the unscaled sets; hours on CPU — hardware only).
+"""
+
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mosfhet_tpu import (params, tlwe, trlwe, trgsw, bootstrap, bootstrap_ga,
+                         keyswitch as ks, product, rng, torus)
+
+KEY = jax.random.PRNGKey(20260816)
+FULL = bool(os.environ.get("MOSFHET_FULL_MATRIX"))
+CAL = bool(os.environ.get("MOSFHET_MATRIX_CALIBRATE"))
+
+
+def _scaled(ref: params.TFHEParams) -> params.TFHEParams:
+    if FULL:
+        return ref
+    return params.TFHEParams(
+        n=16, N=256, k=ref.k, l=ref.l, Bg_bit=ref.Bg_bit, t=ref.t,
+        base_bit=ref.base_bit, lwe_sigma=ref.lwe_sigma,
+        rlwe_sigma=ref.rlwe_sigma, name=ref.name + "_scaled")
+
+
+SETS = {
+    "SET_1": _scaled(params.SET_1),
+    "SET_2": _scaled(params.SET_2),
+    "SET_3": _scaled(params.SET_3),
+    "TFHEPP_L2": _scaled(params.TFHEPP_L2),
+}
+
+_KEY_CACHE = {}
+
+
+def keyset(set_name):
+    if set_name in _KEY_CACHE:
+        return _KEY_CACHE[set_name]
+    p = SETS[set_name]
+    kk = jax.random.split(jax.random.fold_in(KEY, hash(set_name) % 2**31), 10)
+    key_tlwe = tlwe.new_binary_key(kk[0], p.n, p.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(kk[1], p.N, p.k, p.rlwe_sigma)
+    key_out = trlwe.extract_tlwe_key(key_trlwe)
+    gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
+    bk = bootstrap.new_key(kk[2], gk, key_tlwe, 1)
+    out = (p, kk, key_tlwe, key_trlwe, key_out, gk, bk)
+    _KEY_CACHE[set_name] = out
+    return out
+
+
+def _err(want, got):
+    d = np.abs(np.asarray(
+        jnp.asarray(got, jnp.uint64) - jnp.asarray(want, jnp.uint64)
+    ).view(np.int64).astype(np.float64))
+    return float(d.max())
+
+
+# --- ops: each returns (ok, log2_err_or_msg) --------------------------------
+
+def op_pbs(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    luts = rng.uniform_torus(kk[3], (4,))
+    tv = trlwe.torus_packing(luts, p.k, p.N)
+    ms = torus.double2torus(jnp.arange(4) / 8.0)
+    cs = tlwe.encrypt(ms, key_tlwe, kk[4])
+    out = bootstrap.functional_bootstrap(tv, cs, bk, 4)
+    e = _err(luts, tlwe.phase(out, key_out))
+    return e <= 2.0**58, math.log2(e + 1)
+
+
+def op_tlwe_mul(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    rlk = ks.new_rl_key(kk[5], key_trlwe, 2, 20)
+    ksk = ks.new_packing1_ks_key(kk[6], key_trlwe, key_out, p.t, p.base_bit)
+    prec = 4
+    in1, in2 = 5, 11
+    c1 = tlwe.encrypt(torus.int2torus(jnp.uint64(in1), prec), key_out, kk[7])
+    c2 = tlwe.encrypt(torus.int2torus(jnp.uint64(in2), prec), key_out, kk[8])
+    out = product.tlwe_mul(c1, c2, prec, ksk, rlk)
+    res = int(torus.torus2int(tlwe.phase(out, key_out), prec)) % (1 << prec)
+    return res == (in1 * in2) % (1 << prec), f"digit {res}"
+
+
+def op_trgsw_mul(set_name):
+    """TRGSW x TRGSW keeps a decryptable exponent (`test_trgsw_mul`)."""
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    m1, m2 = 5, 3
+    g1 = trgsw.monomial_encrypt(1, m1, gk, jax.random.fold_in(kk[9], 0))
+    g2 = trgsw.monomial_encrypt(1, m2, gk, jax.random.fold_in(kk[9], 1))
+    prod = trgsw.mul_trgsw_dft(g1, trgsw.to_dft(g2, gk.plan()))
+    e = int(trgsw.debug_decrypt_exp_dft(prod, gk))
+    return e == m1 + m2, f"exp {e}"
+
+
+def op_trgsw_reg_sub(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    r1 = trgsw.reg_encrypt(9, gk, jax.random.fold_in(kk[9], 2))
+    r2 = trgsw.reg_encrypt(4, gk, jax.random.fold_in(kk[9], 3))
+    rs = trgsw.reg_sub(r1, r2)
+    e = int(trgsw.debug_decrypt_exp_dft(rs.positive, gk))
+    return e == 5, f"exp {e}"
+
+
+def op_circuit_bootstrap(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    kska = ks.new_priv_sk_ks_key(kk[5], key_trlwe, key_out, p.t, p.base_bit)
+    kskb = ks.new_packing1_ks_key(kk[6], key_trlwe, key_out, p.t, p.base_bit)
+    m0 = rng.uniform_torus(kk[7], (p.N,))
+    ctrl = trlwe.encrypt(m0, key_trlwe, kk[8])
+    c = tlwe.encrypt(torus.double2torus(1 / 4.0), key_tlwe, kk[9])
+    g = bootstrap.circuit_bootstrap(c, bk, kska, kskb, p.l, p.Bg_bit)
+    out = trgsw.external_product(ctrl, trgsw.to_dft(g, gk.plan()))
+    e = _err(m0, trlwe.phase(out, key_trlwe))
+    return e <= 2.0**59, math.log2(e + 1)
+
+
+def op_circuit_bootstrap_3(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    kskb = ks.new_packing1_ks_key(kk[6], key_trlwe, key_out, p.t, p.base_bit)
+    pair = ks.new_priv_ks_key_pair(kk[5], key_trlwe, key_trlwe,
+                                   p.t, p.base_bit)
+    m0 = rng.uniform_torus(kk[7], (p.N,))
+    ctrl = trlwe.encrypt(m0, key_trlwe, kk[8])
+    c = tlwe.encrypt(torus.double2torus(1 / 4.0), key_tlwe, kk[9])
+    g = bootstrap.circuit_bootstrap_3(c, bk, pair, kskb, p.l, p.Bg_bit)
+    out = trgsw.external_product(ctrl, trgsw.to_dft(g, gk.plan()))
+    e = _err(m0, trlwe.phase(out, key_trlwe))
+    return e <= 2.0**59, math.log2(e + 1)
+
+
+def op_fdfb_ks21(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    ksk = ks.new_packing1_ks_key(kk[5], key_trlwe, key_out, 6, 4)
+    luts = rng.uniform_torus(kk[6], (8,))
+    tvp = jnp.repeat(luts, (2 * p.N) // 8)
+    c = tlwe.encrypt(torus.int2torus(jnp.uint64(5), 3), key_tlwe, kk[7])
+    out = bootstrap.fdfb_ks21(tvp, c, bk, ksk, 8)
+    e = _err(luts[5], tlwe.phase(out, key_out))
+    return e <= 2.0**58, math.log2(e + 1)
+
+
+def op_fdfb_clot21(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    rlk = ks.new_rl_key(kk[5], key_trlwe, 2, 20)
+    ksk = ks.new_packing1_ks_key(kk[6], key_trlwe, key_out, p.t, p.base_bit)
+    prec = 4
+    luts = torus.int2torus(
+        rng.uniform_torus(kk[7], (8,)) & jnp.uint64((1 << prec) - 1), prec)
+    tv0 = trlwe.torus_packing(luts[:4], p.k, p.N)
+    tv1 = trlwe.torus_packing(luts[4:], p.k, p.N)
+    c = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe, kk[8])
+    out = bootstrap.fdfb_clot21(tv0, tv1, c, bk, ksk, rlk, prec)
+    e = _err(luts[6], tlwe.phase(out, key_out))
+    return e <= 2.0**(64 - prec - 1), math.log2(e + 1)
+
+
+def op_fdfb_clot21_2(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    rlk = ks.new_rl_key(kk[5], key_trlwe, 2, 20)
+    ksk = ks.new_packing1_ks_key(kk[6], key_trlwe, key_out, p.t, p.base_bit)
+    prec = 4
+    tb = 1 << (prec - 2)
+    tv_vals = torus.int2torus(
+        rng.uniform_torus(kk[7], (2 * tb,)) & jnp.uint64((1 << prec) - 1),
+        prec)
+    c = tlwe.encrypt(torus.int2torus(jnp.uint64(1), prec - 1), key_tlwe,
+                     kk[8])
+    out = bootstrap.fdfb_clot21_2(tv_vals, c, bk, ksk, rlk, prec)
+    e = _err(tv_vals[1], tlwe.phase(out, key_out))
+    return e <= 2.0**(64 - prec - 1), math.log2(e + 1)
+
+
+def op_fdfb_this_work(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    tksk = tlwe.new_ks_key(kk[5], key_tlwe, key_out, p.t, p.base_bit)
+    prec = 3
+    luts = rng.uniform_torus(kk[6], (8,))
+    tv = trlwe.torus_packing_many_lut(luts, 4, 2, p.k, p.N)
+    c = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe, kk[7])
+    out = bootstrap.fdfb_this_work(tv, c, bk, tksk, prec)
+    e = _err(luts[6], tlwe.phase(out, key_out))
+    return e <= 2.0**58, math.log2(e + 1)
+
+
+def op_trgsw_bootstrap(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    luts = rng.uniform_torus(kk[5], (4,))
+    tv = trlwe.torus_packing(luts, p.k, p.N)
+    c = tlwe.encrypt(torus.double2torus(2 / 8.0), key_tlwe, kk[6])
+    g = bootstrap.functional_bootstrap_trgsw_phase1(c, bk, 4, p.l, p.Bg_bit)
+    out = bootstrap.functional_bootstrap_trgsw_phase2(g, tv)
+    e = _err(luts[2], tlwe.phase(out, key_out))
+    return e <= 2.0**59, math.log2(e + 1)
+
+
+def op_ga_bootstrap(set_name):
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    bkg = bootstrap_ga.new_key(kk[5], gk, key_tlwe)
+    luts = rng.uniform_torus(kk[6], (4,))
+    tv = trlwe.torus_packing(luts, p.k, p.N)
+    c = tlwe.encrypt(torus.double2torus(3 / 8.0), key_tlwe, kk[7])
+    out = bootstrap_ga.functional_bootstrap_ga(tv, c, bkg, 4)
+    e = _err(luts[3], tlwe.phase(out, key_out))
+    return e <= 2.0**59, math.log2(e + 1)
+
+
+def op_priv_ks(set_name):
+    """TRLWE priv-KS pair: c(m) -> c(-s*m) (`test_trlwe_pack_key_priv_ks`
+    analog)."""
+    p, kk, key_tlwe, key_trlwe, key_out, gk, bk = keyset(set_name)
+    pair = ks.new_priv_ks_key_pair(kk[5], key_trlwe, key_trlwe,
+                                   p.t, p.base_bit)
+    from mosfhet_tpu import polynomial as poly
+    m = rng.uniform_torus(kk[6], (p.N,))
+    c = trlwe.encrypt(m, key_trlwe, kk[7])
+    out = ks.priv_keyswitch_2(c, pair)
+    want = (jnp.uint64(0) - poly.ntt_mul_small(
+        jnp.asarray(key_trlwe.s[0], jnp.int32), m, key_trlwe.plan()))
+    e = _err(want, trlwe.phase(out, key_trlwe))
+    return e <= 2.0**50, math.log2(e + 1)
+
+
+OPS = {
+    "pbs": op_pbs,
+    "tlwe_mul": op_tlwe_mul,
+    "trgsw_mul": op_trgsw_mul,
+    "trgsw_reg_sub": op_trgsw_reg_sub,
+    "circuit_bootstrap": op_circuit_bootstrap,
+    "circuit_bootstrap_3": op_circuit_bootstrap_3,
+    "fdfb_ks21": op_fdfb_ks21,
+    "fdfb_clot21": op_fdfb_clot21,
+    "fdfb_clot21_2": op_fdfb_clot21_2,
+    "fdfb_this_work": op_fdfb_this_work,
+    "trgsw_bootstrap": op_trgsw_bootstrap,
+    "ga_bootstrap": op_ga_bootstrap,
+    "priv_ks": op_priv_ks,
+}
+
+# Calibrated expected matrix (scaled sets, seeds above; see module
+# docstring).  True = must pass, False = must fail (strict both ways).
+# Mirrors the reference's measured SET_2 failures (`VERDICT.md` §4.5 item):
+# the deep-noise ops fail under l=1 / Bg~23 decompositions and pass under
+# SET_1 (l=2) / TFHEpp-L2 (l=4).
+EXPECTED = {
+    # op:                 SET_1, SET_2, SET_3, TFHEPP_L2
+    "pbs":                 (True, True, True, True),
+    "tlwe_mul":            (True, False, False, True),
+    "trgsw_mul":           (True, False, False, True),
+    "trgsw_reg_sub":       (True, False, False, True),
+    "circuit_bootstrap":   (True, False, False, True),
+    "circuit_bootstrap_3": (True, False, False, True),
+    "fdfb_ks21":           (True, False, False, True),
+    "fdfb_clot21":         (True, False, False, True),
+    "fdfb_clot21_2":       (True, False, False, True),
+    "fdfb_this_work":      (True, True, True, True),
+    "trgsw_bootstrap":     (True, False, False, True),
+    "ga_bootstrap":        (True, True, True, True),
+    "priv_ks":             (True, True, True, True),
+}
+_SET_ORDER = ("SET_1", "SET_2", "SET_3", "TFHEPP_L2")
+
+
+@pytest.mark.parametrize("set_name", _SET_ORDER)
+@pytest.mark.parametrize("op_name", list(OPS))
+def test_matrix(op_name, set_name):
+    ok, detail = OPS[op_name](set_name)
+    expected = EXPECTED[op_name][_SET_ORDER.index(set_name)]
+    if CAL:
+        print(f"MATRIX {op_name:22s} {set_name:10s} "
+              f"{'pass' if ok else 'FAIL'}  ({detail})")
+        return
+    assert ok == expected, (
+        f"{op_name} @ {set_name}: got {'pass' if ok else 'fail'}, "
+        f"expected {'pass' if expected else 'fail'} ({detail})")
