@@ -1,0 +1,177 @@
+"""Composite-pipeline benchmarks: honest in-situ per-op numbers.
+
+Round-1 measured micro-ops (mv_phase2, trgsw_phase2, tlwe keyswitch)
+through the axon tunnel, where a fixed ~24 ms per-call transfer swamps
+sub-millisecond ops.  Here every measured quantity is a WHOLE jitted
+program — chains of gates, phase-1+many-phase-2 pipelines, batched ufhe
+integer ops — so per-op costs are amortized differences, free of transfer
+artifacts.  Everything decrypt-verifies.
+
+Reference baselines (BASELINE.md, 1 core AVX-512): PBS 40.9 ms, MV
+bootstrap phase 2 7 us/LUT, TRGSW bootstrap phase 2 43 us/op.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.time() - t0)
+    return min(ts), out
+
+
+def main():
+    from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
+
+    p = params.TFHEPP_L2
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    results = []
+
+    key = jax.random.PRNGKey(99)
+    k0, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+    key_tlwe = tlwe.new_binary_key(k0, p.n, p.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(k1, p.N, p.k, p.rlwe_sigma)
+    key_out = trlwe.extract_tlwe_key(key_trlwe)
+    gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
+    bk = jax.jit(lambda r, kt: bootstrap.new_key(r, gk, kt, 1))(k2, key_tlwe)
+    ksk = jax.jit(lambda r, ok, ik: tlwe.new_ks_key(
+        r, ok, ik, p.t, p.base_bit))(k3, key_tlwe, key_out)
+    jax.block_until_ready(bk.v)
+    log("# keys ready")
+
+    # identity-ish LUT on 4 slots so gates can chain
+    luts = torus.double2torus(jnp.arange(4) / 8.0)
+    tv = trlwe.torus_packing(luts, p.k, p.N)
+    slots = jnp.arange(batch) % 4
+    ms = torus.double2torus(slots / 8.0)
+    cs = jax.jit(lambda m, kk: tlwe.encrypt(m, key_tlwe, kk))(ms, k4)
+
+    # ---- gate chain: R x (PBS -> extract -> keyswitch) in ONE jit -------
+    R = 4
+
+    def gate_chain(tv, c, bk, ksk):
+        for _ in range(R):
+            out = bootstrap.functional_bootstrap(tv, c, bk, 4)
+            c = tlwe.keyswitch(out, ksk)
+        return c
+
+    def pbs_only_chain(tv, c, bk):
+        out = None
+        for _ in range(R):
+            out = bootstrap.functional_bootstrap(tv, c, bk, 4)
+        return out
+
+    gc = jax.jit(gate_chain)
+    po = jax.jit(pbs_only_chain)
+    t_gate, cend = timeit(gc, tv, cs, bk, ksk)
+    t_pbs, _ = timeit(po, tv, cs, bk)
+    ph = np.asarray(tlwe.phase(cend, key_tlwe), np.uint64)
+    want = np.asarray(ms, np.uint64)
+    err = np.abs((ph - want).view(np.int64).astype(np.float64)).max()
+    ok = err <= 2.0**58
+    gate_ms = t_gate / R / batch * 1e3
+    ks_ms = (t_gate - t_pbs) / R / batch * 1e3
+    log(f"# gate (PBS+KS): {gate_ms:.3f} ms; in-situ tlwe_ks: {ks_ms:.4f} ms"
+        f" (decrypt {'OK' if ok else 'FAIL'}, err 2^{math.log2(err+1):.1f})")
+    results.append({"metric": "gate_pbs_ks_L2", "value": round(gate_ms, 3),
+                    "unit": "ms/gate", "vs_baseline": round(40.9 / gate_ms, 2),
+                    "batch": batch, "decrypt_ok": bool(ok)})
+    results.append({"metric": "tlwe_ks_insitu_L2", "value": round(ks_ms, 4),
+                    "unit": "ms/op", "vs_baseline": None, "batch": batch})
+
+    # ---- MV bootstrap phase 1 + K phase-2 LUT compositions in one jit ---
+    K = 16
+    lut_tables = [[(3 * i + j) % 4 for i in range(4)] for j in range(K)]
+
+    def mv_pipeline(c, bk):
+        rot = bootstrap.multivalue_bootstrap_phase1(c, bk, 4)
+        outs = [bootstrap.multivalue_bootstrap_phase2(lut_tables[j], rot, 4, 2)
+                for j in range(K)]
+        return tlwe.TLWE(a=jnp.stack([o.a for o in outs]),
+                         b=jnp.stack([o.b for o in outs]))
+
+    def mv_p1_only(c, bk):
+        rot = bootstrap.multivalue_bootstrap_phase1(c, bk, 4)
+        return rot[0].a
+
+    mp = jax.jit(mv_pipeline)
+    m1 = jax.jit(mv_p1_only)
+    t_full, outs = timeit(mp, cs, bk)
+    t_p1, _ = timeit(m1, cs, bk)
+    ph2_us = (t_full - t_p1) / K / batch * 1e6
+    ph = np.asarray(tlwe.phase(outs, key_out), np.uint64)  # [K, batch]
+    sl = np.asarray(slots)
+    want = np.asarray(torus.double2torus(
+        jnp.asarray([[lut_tables[j][s] for s in sl] for j in range(K)])
+        / 8.0), np.uint64)
+    err = np.abs((ph - want).view(np.int64).astype(np.float64)).max()
+    ok = err <= 2.0**58
+    log(f"# mv_phase2 in-situ: {ph2_us:.2f} us/LUT "
+        f"(decrypt {'OK' if ok else 'FAIL'})")
+    results.append({"metric": "mv_phase2_insitu_L2",
+                    "value": round(ph2_us, 2), "unit": "us/LUT",
+                    "vs_baseline": round(7.0 / ph2_us, 2),
+                    "batch": batch * K, "decrypt_ok": bool(ok)})
+
+    # ---- TRGSW bootstrap phase 1 + K phase-2 external products ----------
+    tvs2 = trlwe.torus_packing(
+        rng.uniform_torus(k5, (K, 4)), p.k, p.N)
+
+    def trgsw_pipeline(c, bk, tvs):
+        g = bootstrap.functional_bootstrap_trgsw_phase1(c, bk, 4, p.l,
+                                                        p.Bg_bit)
+        outs = [bootstrap.functional_bootstrap_trgsw_phase2(
+            g, trlwe.TRLWE(a=tvs.a[j], b=tvs.b[j])) for j in range(K)]
+        return tlwe.TLWE(a=jnp.stack([o.a for o in outs]),
+                         b=jnp.stack([o.b for o in outs]))
+
+    def trgsw_p1_only(c, bk):
+        g = bootstrap.functional_bootstrap_trgsw_phase1(c, bk, 4, p.l,
+                                                        p.Bg_bit)
+        return g.v
+
+    small = min(batch, 32)   # TRGSW accumulator = 8 rows per ciphertext
+    cs_small = tlwe.TLWE(a=cs.a[:small], b=cs.b[:small])
+    tp = jax.jit(trgsw_pipeline)
+    t1 = jax.jit(trgsw_p1_only)
+    t_full, outs = timeit(tp, cs_small, bk, tvs2)
+    t_p1, _ = timeit(t1, cs_small, bk)
+    tph2_us = (t_full - t_p1) / K / small * 1e6
+    ph = np.asarray(tlwe.phase(outs, key_out), np.uint64)  # [K, small]
+    lutv = np.asarray(rng.uniform_torus(k5, (K, 4)), np.uint64)
+    want = lutv[:, np.asarray(slots[:small])]
+    err = np.abs((ph - want).view(np.int64).astype(np.float64)).max()
+    ok = err <= 2.0**59
+    log(f"# trgsw_phase2 in-situ: {tph2_us:.2f} us/op "
+        f"(decrypt {'OK' if ok else 'FAIL'})")
+    results.append({"metric": "trgsw_phase2_insitu_L2",
+                    "value": round(tph2_us, 2), "unit": "us/op",
+                    "vs_baseline": round(43.0 / tph2_us, 2),
+                    "batch": small * K, "decrypt_ok": bool(ok)})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -147,13 +147,14 @@ def main():
             "vs_baseline": round(baselines_ph2[u] / (dt2 * 1e3), 2),
             "batch": n_luts, "decrypt_ok": bool(ok2),
         })
-        # free the key before the next unfolding
+        # print rows as they complete (a later-unfolding OOM must not lose
+        # the finished measurements), then free the key
+        for r in results:
+            print(json.dumps(r), flush=True)
+        results = []
         del bk, sa
         import gc
         gc.collect()
-
-    for r in results:
-        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -53,11 +53,23 @@ class BootstrapKey:
 
 
 def _batched_monomial_encrypt(ms, es, key: TRGSWKey, rkey):
-    """TRGSW(m_i X^{e_i}) for arrays of m/e — vmapped keygen."""
+    """TRGSW(m_i X^{e_i}) for arrays of m/e — vmapped keygen, chunked with
+    lax.map so the encryption intermediates (mask NTTs) of multi-GiB keys
+    (unfold=8: 20k+ TRGSWs) never exceed HBM."""
     n = ms.shape[0]
     keys = jax.random.split(rkey, n)
+    ms = jnp.asarray(ms, jnp.int64)
+    es = jnp.asarray(es, jnp.int32)
     enc = jax.vmap(lambda m, e, rk: _trgsw.monomial_encrypt(m, e, key, rk))
-    return enc(jnp.asarray(ms, jnp.int64), jnp.asarray(es, jnp.int32), keys)
+    if n <= 1024:
+        return enc(ms, es, keys)
+    chunk = next(c for c in range(1024, 0, -1) if n % c == 0)
+    out = jax.lax.map(
+        lambda xs: enc(*xs),
+        (ms.reshape(n // chunk, chunk),
+         es.reshape(n // chunk, chunk),
+         keys.reshape(n // chunk, chunk, -1)))
+    return jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), out)
 
 
 def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey,
