@@ -34,8 +34,12 @@ class BootstrapKey:
     """unfold=1: NTT-form TRGSW(s_i) stacked over i (`new_bootstrap_key_wo_
     unfolding`, `bootstrap.c:3-21`): v/vs [n, (k+1)l, k+1, P, N].
 
-    unfold=u>1: time-domain TRGSW of key-bit products, grouped
-    [n/u, 2^u, (k+1)l, k+1, N] in `su` (`bootstrap.c:23-48`); v/vs unused.
+    unfold=u>1: time-domain TRGSW of key-bit products
+    (`bootstrap.c:23-48`), stored as u32 *limb planes*
+    [nl, n/u, 2^u, (k+1)l, k+1, N] in `su` (nl = TORUS_BITS/32, plane 0 =
+    low limb) — the layout the fused unfolded kernels stream directly, so
+    multi-GiB unfold-8 keys never need an extra limb-split copy in HBM.
+    `su_u64()` recombines for the portable jnp paths and IO; v/vs unused.
     """
     v: jax.Array | None
     vs: jax.Array | None
@@ -50,6 +54,23 @@ class BootstrapKey:
 
     def plan(self):
         return _ntt.get_plan(self.N, self.primes)
+
+    def su_u64(self):
+        """Recombine the limb planes to torus values
+        [n/u, 2^u, (k+1)l, k+1, N]."""
+        if self.su.shape[0] == 1:
+            return jnp.asarray(self.su[0], TORUS_DTYPE)
+        return (self.su[0].astype(jnp.uint64)
+                | (self.su[1].astype(jnp.uint64) << jnp.uint64(32)))
+
+
+def _split_su_planes(su64):
+    """[G, M, R, C, N] torus -> u32 limb planes [nl, G, M, R, C, N]."""
+    if TORUS_BITS == 32:
+        return jnp.asarray(su64, jnp.uint32)[None]
+    lo = (su64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (su64 >> jnp.uint64(32)).astype(jnp.uint32)
+    return jnp.stack([lo, hi])
 
 
 def _batched_monomial_encrypt(ms, es, key: TRGSWKey, rkey):
@@ -95,7 +116,8 @@ def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey,
     ms = jnp.prod(terms, axis=-1).reshape(-1)           # [n/u * 2^u]
     g = _batched_monomial_encrypt(
         ms, jnp.zeros_like(ms, jnp.int32), out_key, rkey)
-    su = g.rows.reshape(n // unfolding, key_exp, (k + 1) * l, k + 1, N)
+    su = _split_su_planes(
+        g.rows.reshape(n // unfolding, key_exp, (k + 1) * l, k + 1, N))
     return BootstrapKey(v=None, vs=None, su=su, n=n, k=k, N=N, l=l,
                         Bg_bit=Bg_bit, unfolding=unfolding, primes=plan.primes)
 
@@ -229,7 +251,10 @@ def _blind_rotate_unfolded_pallas(tv: TRLWE, a, bk: BootstrapKey,
             [acc0, jnp.zeros((pad,) + acc0.shape[1:], TORUS_DTYPE)], axis=0)
         rot = jnp.concatenate(
             [rot, jnp.zeros((pad,) + rot.shape[1:], jnp.int32)], axis=0)
-    acc = _pk.unfolded_rotate(acc0, rot, bk.su, kp, interpret=interpret)
+    R = (bk.k + 1) * bk.l
+    su_planes = bk.su.reshape(bk.su.shape[0], bk.n // bk.unfolding,
+                              1 << bk.unfolding, R * (bk.k + 1), bk.N)
+    acc = _pk.unfolded_rotate(acc0, rot, su_planes, kp, interpret=interpret)
     acc = acc[:B] if pad else acc
     return from_stacked(acc.reshape(batch + (k + 1, N)))
 
@@ -273,7 +298,7 @@ def blind_rotate_unfolded(tv: TRLWE, a, bk: BootstrapKey,
             spec[..., :, None, :, :], gd, plan, axis=-4)
         return _ntt.from_ntt_u64(acc_ntt, plan), None
 
-    acc, _ = jax.lax.scan(step, tv.stacked(), (bk.su, rot_scan))
+    acc, _ = jax.lax.scan(step, tv.stacked(), (bk.su_u64(), rot_scan))
     return from_stacked(acc)
 
 
@@ -404,8 +429,9 @@ def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey,
             B *= d
         rot = _unfold_rotations(a_arr.reshape(B, -1), bk)  # [B, G, M]
         G = bk.n // u
-        su_t = _pk.split_su_limbs(bk.su.reshape(
-            G, 1 << u, (bk.k + 1) * bk.l, bk.k + 1, bk.N), kp)
+        su_planes = bk.su.reshape(
+            bk.su.shape[0], G, 1 << u, (bk.k + 1) * bk.l * (bk.k + 1), bk.N)
+        su_t = _pk.tile_su_planes(su_planes, kp)
         rot_t = _pk.tile_rot(rot, kp, G)
         sa_t = _pk.ubr_phase1_combine(
             su_t, rot_t, kp, interpret=(impl == "pallas_interpret"))
@@ -414,7 +440,7 @@ def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey,
         return TRGSWDFT(v=v, vs=None, l=bk.l, Bg_bit=bk.Bg_bit,
                         primes=bk.primes)
     rot = _unfold_rotations(a_arr, bk)                   # [..., n/u, 2^u]
-    rotated = _poly.mul_by_xai(bk.su, rot[..., :, :, None, None])
+    rotated = _poly.mul_by_xai(bk.su_u64(), rot[..., :, :, None, None])
     # rotated: [..., n/u, 2^u, R, k+1, N]; combine over the 2^u axis
     comb = jnp.sum(rotated, axis=-4, dtype=TORUS_DTYPE)
     v = _ntt.to_ntt_u64(comb, plan)

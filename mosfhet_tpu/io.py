@@ -244,8 +244,10 @@ def import_mosfhet_bootstrap_key(f):
     count = n * key_exp // unfolding
     rows = [import_mosfhet_trgsw(f, l, Bg_bit, k, N).rows
             for _ in range(count)]
-    su = jnp.stack(rows).reshape(n // unfolding, key_exp, (k + 1) * l,
-                                 k + 1, N)
+    from .bootstrap import _split_su_planes
+    su = _split_su_planes(
+        jnp.stack(rows).reshape(n // unfolding, key_exp, (k + 1) * l,
+                                k + 1, N))
     bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), (k + 1) * l)
     primes = _ntt.primes_for_bound(bound)
     return BootstrapKey(v=None, vs=None, su=su, n=n, k=k, N=N, l=l,
@@ -513,8 +515,7 @@ def export_mosfhet_bootstrap_key(f, bk):
             f.write(np.ascontiguousarray(
                 torus_to_ffnt_dft(rows[i]).astype("<f8")).tobytes())
         return
-    su = np.asarray(bk.su, np.uint64)
-    _write_u64(f, su)
+    _write_u64(f, np.asarray(bk.su_u64(), np.uint64))
 
 
 def import_mosfhet_bootstrap_key_dft(f):

@@ -921,11 +921,16 @@ def _make_phase1_kernel(kp: PBSKernelPlan, M: int):
     bt, nl = kp.bt, kp.nl
     JC = J * C
 
-    def kernel(su_ref, rot_ref, ftw_ref, ftws_ref, out_ref, comb_ref):
-        # su_ref: [1, 1, JC, nl, GT, N] u32 limb tiles of SU[g_tile, m]
-        # rot_ref: [1, 1, 1, GT, 1] i32 rotation exponents in [0, 2N)
-        # out_ref: [1, 1, J, C, P, GT, N] u32 exact NTT-domain residues
-        # comb_ref: [JC, nl, GT, N] u32 running combination (wraps mod 2^TB)
+    def kernel(*refs):
+        # su plane tiles [1, 1, JC, GT, N] u32 (lo[, hi]), rot [1,1,1,GT,1],
+        # tables, out [1, 1, J, C, P, GT, N], comb scratch [JC, nl, GT, N]
+        su_lo_ref = refs[0]
+        i = 1
+        su_hi_ref = None
+        if nl == 2:
+            su_hi_ref = refs[i]
+            i += 1
+        rot_ref, ftw_ref, ftws_ref, out_ref, comb_ref = refs[i:i + 5]
         m = pl.program_id(2)
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         rot_col = rot_ref[0, 0, 0]                        # [GT, 1] i32
@@ -938,12 +943,12 @@ def _make_phase1_kernel(kp: PBSKernelPlan, M: int):
 
         for jc in range(JC):
             if nl == 1:
-                lo = su_ref[0, 0, jc, 0]
+                lo = su_lo_ref[0, 0, jc]
                 rlo = _negacyclic_rotate_limb32(lo, rot_col, liota, N)
                 comb_ref[jc, 0] = comb_ref[jc, 0] + rlo
                 continue
-            lo = su_ref[0, 0, jc, 0]
-            hi = su_ref[0, 0, jc, 1]
+            lo = su_lo_ref[0, 0, jc]
+            hi = su_hi_ref[0, 0, jc]
             rlo, rhi = _negacyclic_rotate_limbs(lo, hi, rot_col, liota, N)
             clo = comb_ref[jc, 0]
             slo = clo + rlo
@@ -970,7 +975,8 @@ def _make_phase1_kernel(kp: PBSKernelPlan, M: int):
 
 def ubr_phase1_combine(su_tiles, rot_tiles, kp: PBSKernelPlan,
                        interpret: bool = False):
-    """su_tiles: [nG, M, JC, nl, GT, N] u32; rot_tiles: [B, nG, M, GT, 1] i32
+    """su_tiles: tuple of nl plane arrays [nG, M, JC, GT, N] u32;
+    rot_tiles: [B, nG, M, GT, 1] i32
     -> [B, nG, J, C, P, GT, N] u32 exact NTT-domain residues of the
     combined TRGSWs."""
     B, nG, M = rot_tiles.shape[0], rot_tiles.shape[1], rot_tiles.shape[2]
@@ -978,14 +984,15 @@ def ubr_phase1_combine(su_tiles, rot_tiles, kp: PBSKernelPlan,
     JC = J * C
     S = N.bit_length() - 1
     kernel = _make_phase1_kernel(kp, M)
+    su_spec = pl.BlockSpec(
+        (1, 1, JC, bt, N),
+        lambda b, g, m: (g, m, b * 0, b * 0, b * 0),
+        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, nG, J, C, P, bt, N), _U32),
         grid=(B, nG, M),
-        in_specs=[
-            pl.BlockSpec((1, 1, JC, nl, bt, N),
-                         lambda b, g, m: (g, m, b * 0, b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[su_spec] * nl + [
             pl.BlockSpec((1, 1, 1, bt, 1),
                          lambda b, g, m: (b, g, m, b * 0, b * 0),
                          memory_space=pltpu.VMEM),
@@ -1006,28 +1013,25 @@ def ubr_phase1_combine(su_tiles, rot_tiles, kp: PBSKernelPlan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(su_tiles, rot_tiles, kp.ftw, kp.ftws)
+    )(*su_tiles, rot_tiles, kp.ftw, kp.ftws)
 
 
-def split_su_limbs(su, kp: PBSKernelPlan):
-    """[G, M, J, C, N] torus -> group-tiled u32 limbs
-    [nG, M, J*C, nl, GT, N] (G padded to the tile with zeros — padded
-    groups are sliced away after phase 1)."""
-    G, M, J, C, N = su.shape
+def tile_su_planes(su_planes, kp: PBSKernelPlan):
+    """Limb planes [nl, G, M, JC, N] u32 -> tuple of nl group-tiled arrays
+    [nG, M, JC, GT, N] (G padded to the tile with zeros — padded groups are
+    sliced away after phase 1)."""
+    nl, G, M, JC, N = su_planes.shape
     bt = kp.bt
     pad = (-G) % bt
-    if pad:
-        su = jnp.concatenate(
-            [su, jnp.zeros((pad,) + su.shape[1:], su.dtype)], axis=0)
-    nG = (G + pad) // bt
-    if kp.nl == 1:
-        t = jnp.asarray(su, _U32)[None]                   # [1, G', M, J, C, N]
-    else:
-        lo = (su & jnp.uint64(0xFFFFFFFF)).astype(_U32)
-        hi = (su >> jnp.uint64(32)).astype(_U32)
-        t = jnp.stack([lo, hi])                           # [2, G', M, J, C, N]
-    t = t.reshape(kp.nl, nG, bt, M, J * C, N)
-    return t.transpose(1, 3, 4, 0, 2, 5)                  # [nG, M, JC, nl, GT, N]
+    out = []
+    for li in range(nl):
+        pl_ = su_planes[li]
+        if pad:
+            pl_ = jnp.concatenate(
+                [pl_, jnp.zeros((pad,) + pl_.shape[1:], pl_.dtype)], axis=0)
+        nG = (G + pad) // bt
+        out.append(pl_.reshape(nG, bt, M, JC, N).transpose(0, 2, 3, 1, 4))
+    return tuple(out)
 
 
 def tile_rot(rot, kp: PBSKernelPlan, G: int):
@@ -1069,11 +1073,19 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
     bt, nl = kp.bt, kp.nl
     JC = J * C
 
-    def kernel(acc_ref, su_ref, rot_ref, ftw_ref, ftws_ref, itw_ref,
-               itws_ref, out_ref, comb_ref, keyspec_ref, dig_ref, spec_ref):
+    def kernel(*refs):
         # acc_ref/out_ref: [1, nl, C, BT, N] u32 (out is the live state)
-        # su_ref: [1, 1, JC, nl, N] u32; rot_ref: [1, 1, 1, BT, 1] i32
+        # su planes: [1, 1, JC, N] u32 (lo[, hi]); rot: [1, 1, 1, BT, 1] i32
         # comb_ref: [JC, nl, BT, N]; keyspec_ref: [J, C, P, BT, N]
+        acc_ref = refs[0]
+        su_lo_ref = refs[1]
+        i = 2
+        su_hi_ref = None
+        if nl == 2:
+            su_hi_ref = refs[i]
+            i += 1
+        (rot_ref, ftw_ref, ftws_ref, itw_ref, itws_ref, out_ref,
+         comb_ref, keyspec_ref, dig_ref, spec_ref) = refs[i:i + 10]
         g = pl.program_id(1)
         m = pl.program_id(2)
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
@@ -1094,12 +1106,12 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
         # -- rotate this mask combination's TRGSW into the running sum ----
         for jc in range(JC):
             if nl == 1:
-                lo = jnp.broadcast_to(su_ref[0, 0, jc, 0:1, :], (bt, N))
+                lo = jnp.broadcast_to(su_lo_ref[0, 0, jc:jc + 1, :], (bt, N))
                 rlo = _negacyclic_rotate_limb32(lo, rot_col, liota, N)
                 comb_ref[jc, 0] = comb_ref[jc, 0] + rlo
                 continue
-            lo = jnp.broadcast_to(su_ref[0, 0, jc, 0:1, :], (bt, N))
-            hi = jnp.broadcast_to(su_ref[0, 0, jc, 1:2, :], (bt, N))
+            lo = jnp.broadcast_to(su_lo_ref[0, 0, jc:jc + 1, :], (bt, N))
+            hi = jnp.broadcast_to(su_hi_ref[0, 0, jc:jc + 1, :], (bt, N))
             rlo, rhi = _negacyclic_rotate_limbs(lo, hi, rot_col, liota, N)
             clo = comb_ref[jc, 0]
             slo = clo + rlo
@@ -1164,31 +1176,28 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
     return kernel
 
 
-def unfolded_rotate(acc0, rot, su, kp: PBSKernelPlan,
+def unfolded_rotate(acc0, rot, su_planes, kp: PBSKernelPlan,
                     interpret: bool = False):
     """The full unfolded blind rotate in one fused kernel.
 
     acc0: [B, C, N] torus (B a multiple of the tile; pad upstream)
     rot:  [B, G, M] i32 rotation exponents in [0, 2N)
-    su:   [G, M, J, C, N] torus time-domain key products (bk.su)
+    su_planes: [nl, G, M, J*C, N] u32 limb planes of the key products
+    (bk.su reshaped) — streamed directly, no conversion copies.
     Returns [B, C, N] torus."""
     B, C, N = acc0.shape
-    G, M = su.shape[0], su.shape[1]
+    G, M = su_planes.shape[1], su_planes.shape[2]
     P, J, bt, nl = kp.P, kp.J, kp.bt, kp.nl
     JC = J * C
     S = N.bit_length() - 1
     nb = B // bt
     tiles = split_limbs(acc0, kp)                         # [nb, nl, C, BT, N]
-    if nl == 1:
-        su32 = jnp.asarray(su, _U32)[..., None, :]        # [G, M, J, C, 1, N]
-        su32 = su32.reshape(G, M, JC, 1, N)
-    else:
-        lo = (su & jnp.uint64(0xFFFFFFFF)).astype(_U32)
-        hi = (su >> jnp.uint64(32)).astype(_U32)
-        su32 = jnp.stack([lo, hi], axis=-2)               # [G, M, J, C, nl, N]
-        su32 = su32.reshape(G, M, JC, nl, N)
+    sus = tuple(su_planes[li] for li in range(nl))        # [G, M, JC, N] each
     rot_t = rot.reshape(nb, bt, G, M).transpose(0, 2, 3, 1)[..., None]
     kernel = _make_unfolded_kernel(kp, M)
+    su_spec = pl.BlockSpec(
+        (1, 1, JC, N), lambda b, g, m: (g, m, b * 0, b * 0),
+        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
@@ -1197,9 +1206,7 @@ def unfolded_rotate(acc0, rot, su, kp: PBSKernelPlan,
             pl.BlockSpec((1, nl, C, bt, N),
                          lambda b, g, m: (b, b * 0, b * 0, b * 0, b * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, JC, nl, N),
-                         lambda b, g, m: (g, m, b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
+        ] + [su_spec] * nl + [
             pl.BlockSpec((1, 1, 1, bt, 1),
                          lambda b, g, m: (b, g, m, b * 0, b * 0),
                          memory_space=pltpu.VMEM),
@@ -1230,7 +1237,7 @@ def unfolded_rotate(acc0, rot, su, kp: PBSKernelPlan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, su32, rot_t, kp.ftw, kp.ftws, kp.itw, kp.itws)
+    )(tiles, *sus, rot_t, kp.ftw, kp.ftws, kp.itw, kp.itws)
     return merge_limbs(out)
 
 

@@ -284,9 +284,9 @@ EXPECTED = {
     "trgsw_reg_sub":       (True, False, False, True),
     "circuit_bootstrap":   (False, False, False, True),
     "circuit_bootstrap_3": (False, False, False, True),
-    "fdfb_ks21":           (False, False, False, True),
+    "fdfb_ks21":           (True, False, False, True),
     "fdfb_clot21":         (False, False, False, True),
-    "fdfb_clot21_2":       (False, False, False, True),
+    "fdfb_clot21_2":       (False, True, False, True),
     "fdfb_this_work":      (True, True, True, True),
     "trgsw_bootstrap":     (False, False, False, True),
     "ga_bootstrap":        (True, True, True, True),
