@@ -89,6 +89,26 @@ def main():
         "batch": batch,
         "decrypt_ok": ok,
     }
+
+    # TORUS32 row (the reference's -DTORUS32 build): the width is fixed at
+    # import, so the 1-limb-kernel measurement runs as a subprocess
+    if on_accel and os.environ.get("BENCH_TORUS32", "1") == "1":
+        import subprocess
+        env = dict(os.environ)
+        env["MOSFHET_TORUS_BITS"] = "32"
+        env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "bench_torus32.py")],
+                env=env, capture_output=True, text=True, timeout=2400)
+            row = json.loads(r.stdout.strip().splitlines()[-1])
+            result["torus32_boot_s"] = row["value"]
+            result["torus32_decrypt_ok"] = row["decrypt_ok"]
+        except Exception as e:  # never fail the headline metric
+            print(f"# torus32 sub-bench failed: {e}", file=sys.stderr)
+
     print(json.dumps(result))
 
 

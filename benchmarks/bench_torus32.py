@@ -43,3 +43,7 @@ for _ in range(3):
     t0 = time.time(); out = f(tv, cs, bk); jax.block_until_ready(out.b)
     ts.append(time.time() - t0)
 print(f"{min(ts)/B*1e3:.2f} ms/bootstrap -> {B/min(ts):.0f} boot/s (TORUS32)")
+import json
+print(json.dumps({"metric": "pbs_throughput_L2_torus32",
+                  "value": round(B / min(ts), 2), "unit": "bootstraps/s",
+                  "batch": B, "decrypt_ok": bool(err < 2**26)}))

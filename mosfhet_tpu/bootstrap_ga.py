@@ -201,30 +201,66 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
                 else "jnp")
 
     batch = a_int.shape[:-1]
-    acc = _eval_auto_dyn(tv.stacked(), w[..., 0], bk)
 
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_interpret"):
         from .ops import pbs_kernel as _pk
+        interp = impl == "pallas_interpret"
         kp = _pk.get_kernel_plan(N, bk.primes, l, Bg_bit, k)
+        kp_ks = _pk.get_kernel_plan(N, bk.ks_primes, bk.ks_t,
+                                    bk.ks_base_bit, k)
         B = 1
         for d in batch:
             B *= d
         pad = (-B) % kp.bt
         sv32 = bk.s_v.astype(jnp.uint32)
         svs32 = bk.s_vs.astype(jnp.uint32)
+        # keyset residues as u32 (loop-invariant: hoisted out of the scan);
+        # Shoup companions are not gathered — the kernel multiplies with
+        # Barrett, halving the per-step key-gather traffic
+        ak32 = bk.ak_v.astype(jnp.uint32)
+        Jk = bk.k * bk.ks_t
+
+        def _pad_rows(x):
+            if pad:
+                return jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            return x
 
         def ext_prod(acc_st, gv, gvs):
             x = jnp.broadcast_to(acc_st, batch + (k + 1, N)
                                  ).reshape(B, k + 1, N)
-            if pad:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((pad, k + 1, N), TORUS_DTYPE)], axis=0)
-            r = _pk.cmux_delta(x, gv, gvs, kp)
-            if pad:
-                r = r[:B]
-            return r.reshape(batch + (k + 1, N))
+            r = _pk.cmux_delta(_pad_rows(x), gv, gvs, kp,
+                               interpret=interp)
+            return (r[:B] if pad else r).reshape(batch + (k + 1, N))
 
+        def auto_ks(acc_st, gen):
+            """Permute (XLA gather) + fused keyswitch kernel with the
+            per-row gathered keyset entry."""
+            perm = _permute_dyn(acc_st, gen, bk.inv2n, N)
+            x = jnp.broadcast_to(perm, batch + (k + 1, N)
+                                 ).reshape(B, k + 1, N)
+            kidx = jnp.broadcast_to((gen - 1) >> 1, batch).reshape(B)
+            kv = jnp.take(ak32, kidx, axis=0)       # [B, Jk, k+1, P, N]
+            out = _pk.auto_keyswitch(_pad_rows(x), _pad_rows(kv), kp_ks,
+                                     interpret=interp)
+            return (out[:B] if pad else out).reshape(batch + (k + 1, N))
+
+        acc = auto_ks(tv.stacked(), w[..., 0])
         sv_scan, svs_scan = sv32, svs32
+
+        gens = (a_int[..., :-1] * w[..., 1:]) & mod_mask   # [..., n-1]
+        gens_scan = jnp.moveaxis(gens, -1, 0)
+
+        def step(acc_st, xs):
+            gv, gvs, gen = xs
+            t = ext_prod(acc_st, gv, gvs)
+            return auto_ks(t, gen), None
+
+        acc, _ = jax.lax.scan(
+            step, acc, (sv_scan[:-1], svs_scan[:-1], gens_scan))
+        t = ext_prod(acc, sv_scan[-1], svs_scan[-1])
+        out = auto_ks(t, a_int[..., -1])
+        return from_stacked(out)
     else:
         plan = bk.plan()
 
@@ -238,6 +274,7 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
 
         sv_scan, svs_scan = bk.s_v, bk.s_vs
 
+    acc = _eval_auto_dyn(tv.stacked(), w[..., 0], bk)
     gens = (a_int[..., :-1] * w[..., 1:]) & mod_mask       # [..., n-1]
     gens_scan = jnp.moveaxis(gens, -1, 0)
 

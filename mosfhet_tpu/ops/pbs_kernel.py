@@ -905,6 +905,141 @@ def ext_product_apply_scan(acc0, sa32, kp: PBSKernelPlan,
 
 
 # ---------------------------------------------------------------------------
+# Automorphism keyswitch kernel (GA bootstrap, `bootstrap_ga.c:39-60`)
+#
+#   out = (0, b) - sum_{i<k, j<t} dec_j(a_i) (x) AK[gen][i*t+j]
+#
+# The keyset entry AK[gen] is selected per batch row by that row's
+# data-dependent generator (gathered in XLA), so the key rides the batch
+# tile (per-row) and the multiply is Barrett.  Same decompose->NTT->
+# mul-acc->CRT pipeline as the external product, but only the k mask
+# components are decomposed and the result is *subtracted* from (0, b).
+# ---------------------------------------------------------------------------
+
+def _make_auto_ks_kernel(kp: PBSKernelPlan):
+    # kp is built with l = ks_t and Bg_bit = ks_base_bit; C = k+1
+    N, P, C = kp.N, kp.P, kp.C
+    t = kp.l
+    k_in = C - 1
+    Jk = k_in * t
+    bt, nl = kp.bt, kp.nl
+
+    def kernel(perm_ref, keyv_ref, ftw_ref, ftws_ref, itw_ref, itws_ref,
+               out_ref, dig_ref, spec_ref):
+        # perm_ref/out_ref: [1, nl, C, BT, N]; keyv_ref: [1, Jk, C, P, BT, N]
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        for c in range(k_in):
+            alo = perm_ref[0, 0, c]
+            if nl == 1:
+                lo = alo + _U32(kp.off_lo)
+                for i in range(t):
+                    dig_ref[c * t + i] = _decompose_digit(
+                        lo, None, i, kp.Bg_bit, tb=32)
+                continue
+            ahi = perm_ref[0, 1, c]
+            lo = alo + _U32(kp.off_lo)
+            carry = (lo < _U32(kp.off_lo)).astype(_U32)
+            hi = ahi + _U32(kp.off_hi) + carry
+            for i in range(t):
+                dig_ref[c * t + i] = _decompose_digit(lo, hi, i, kp.Bg_bit)
+
+        for c in range(C):
+            for p in range(P):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+
+        def body(j, carry):
+            d = dig_ref[j]
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                for c in range(C):
+                    kv = keyv_ref[0, j, c, p_i]          # [BT, N]
+                    prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
+                    spec_ref[c, p_i] = _cond_sub(
+                        spec_ref[c, p_i] + prod, 2 * p)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body, jnp.int32(0))
+
+        for c in range(C):
+            ts = []
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
+                                   itws_ref[p_i], liota, p, N))
+            if nl == 1:
+                dlo = _garner_limb32(ts, kp)
+                base = perm_ref[0, 0, c] if c == k_in else _U32(0)
+                out_ref[0, 0, c] = base - dlo
+                continue
+            dlo, dhi = _garner_limbs(ts, kp)
+            if c == k_in:
+                blo = perm_ref[0, 0, c]
+                bhi = perm_ref[0, 1, c]
+            else:
+                blo = jnp.zeros((bt, N), _U32)
+                bhi = jnp.zeros((bt, N), _U32)
+            olo = blo - dlo
+            borrow = (blo < dlo).astype(_U32)
+            out_ref[0, 0, c] = olo
+            out_ref[0, 1, c] = bhi - dhi - borrow
+
+    return kernel
+
+
+def auto_keyswitch(perm, key_rows, kp: PBSKernelPlan,
+                   interpret: bool = False):
+    """Automorphism keyswitch with per-row gathered keys.
+
+    perm: [B, C, N] torus (the permuted accumulator; B multiple of tile)
+    key_rows: [B, Jk, C, P, N] u32 exact residues (AK entry per batch row)
+    Returns [B, C, N] torus: (0, b) - sum dec(a) (x) key."""
+    B, C, N = perm.shape
+    t = kp.l
+    Jk = (C - 1) * t
+    P, bt, nl = kp.P, kp.bt, kp.nl
+    S = N.bit_length() - 1
+    nb = B // bt
+    tiles = split_limbs(perm, kp)
+    keyt = key_rows.reshape(nb, bt, Jk, C, P, N) \
+                   .transpose(0, 2, 3, 4, 1, 5)      # [nb, Jk, C, P, BT, N]
+    kernel = _make_auto_ks_kernel(kp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nl, C, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Jk, C, P, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nl, C, bt, N),
+                               lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Jk, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tiles, keyt, kp.ftw, kp.ftws, kp.itw, kp.itws)
+    return merge_limbs(out)
+
+
+# ---------------------------------------------------------------------------
 # Phase-1 kernel: rotate + combine the unfolded key products, fused NTT
 #
 #   SA_g = sum_m  SU[g, m] * X^{rot[g, m]}          (`bootstrap.c:151-175`)

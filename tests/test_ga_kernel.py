@@ -1,0 +1,50 @@
+"""GA blind rotate: fused kernel path == jnp path, bit-exact (interpret).
+
+The pallas path runs the external product in `cmux_delta` and the
+data-dependent automorphism keyswitch in the per-row-key Barrett kernel
+(`ops/pbs_kernel.auto_keyswitch`); both must reproduce the jnp scan
+bit-for-bit (reference `bootstrap_ga.c:39-60`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap_ga, rng, torus
+
+KEY = jax.random.PRNGKey(888)
+
+P_GA = params.TFHEParams(
+    n=8, N=128, k=1, l=2, Bg_bit=10, t=6, base_bit=4,
+    lwe_sigma=2.0**-28, rlwe_sigma=2.0**-44, name="GA_TEST",
+)
+
+
+def test_ga_kernel_bit_exact():
+    kk = jax.random.split(KEY, 5)
+    kt = tlwe.new_binary_key(kk[0], P_GA.n, P_GA.lwe_sigma)
+    kr = trlwe.new_binary_key(kk[1], P_GA.N, P_GA.k, P_GA.rlwe_sigma)
+    ko = trlwe.extract_tlwe_key(kr)
+    gk = trgsw.new_key(kr, P_GA.l, P_GA.Bg_bit)
+    bkg = bootstrap_ga.new_key(kk[2], gk, kt)
+    luts = rng.uniform_torus(kk[3], (4,))
+    tv = trlwe.torus_packing(luts, P_GA.k, P_GA.N)
+    ms = torus.double2torus(jnp.arange(3) / 8.0)      # batch 3: pad path
+    cs = tlwe.encrypt(ms, kt, kk[4])
+    want = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg, impl="jnp")
+    got = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
+                                       impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    # and the whole GA bootstrap decrypts through the kernel path
+    log_N2 = P_GA.log_N2
+    b_int = torus.torus2int(
+        cs.b + bootstrap_ga._prec_offset(4), log_N2).astype(jnp.int32)
+    acc = trlwe.mul_by_xai(tv, 2 * P_GA.N - b_int)
+    rot = bootstrap_ga.blind_rotate_ga(acc, cs.a, bkg,
+                                       impl="pallas_interpret")
+    out = trlwe.extract_tlwe(rot, 0)
+    ph = np.asarray(tlwe.phase(out, ko), np.uint64)
+    want_v = np.asarray(luts, np.uint64)[np.arange(3)]
+    err = np.abs((ph - want_v).view(np.int64).astype(np.float64))
+    assert err.max() <= float(1 << 58), f"err 2^{np.log2(err.max()+1):.1f}"
