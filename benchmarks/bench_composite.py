@@ -99,6 +99,36 @@ def main():
     results.append({"metric": "tlwe_ks_insitu_L2", "value": round(ks_ms, 4),
                     "unit": "ms/op", "vs_baseline": None, "batch": batch})
 
+    # ---- same gate chain with the int8-MXU keyswitch --------------------
+    kskm = jax.jit(lambda r, ok, ik: tlwe.new_ks_key_no_precomp(
+        r, ok, ik, p.t, p.base_bit))(jax.random.fold_in(key, 7),
+                                     key_tlwe, key_out)
+    pksk = tlwe.prepare_ks_key_mxu(kskm)
+    jax.block_until_ready(pksk.a_nib)
+
+    def gate_chain_mxu(tv, c, bk, pk_):
+        for _ in range(R):
+            out = bootstrap.functional_bootstrap(tv, c, bk, 4)
+            c = tlwe.keyswitch_mxu(out, pk_)
+        return c
+
+    gm = jax.jit(gate_chain_mxu)
+    t_gm, cend2 = timeit(gm, tv, cs, bk, pksk)
+    ph = np.asarray(tlwe.phase(cend2, key_tlwe), np.uint64)
+    err = np.abs((ph - want).view(np.int64).astype(np.float64)).max()
+    ok2 = err <= 2.0**58
+    gate_mxu_ms = t_gm / R / batch * 1e3
+    ksm_ms = (t_gm - t_pbs) / R / batch * 1e3
+    log(f"# gate (PBS+MXU KS): {gate_mxu_ms:.3f} ms; in-situ mxu_ks: "
+        f"{ksm_ms:.4f} ms (decrypt {'OK' if ok2 else 'FAIL'})")
+    results.append({"metric": "gate_pbs_mxuks_L2",
+                    "value": round(gate_mxu_ms, 3), "unit": "ms/gate",
+                    "vs_baseline": round(40.9 / gate_mxu_ms, 2),
+                    "batch": batch, "decrypt_ok": bool(ok2)})
+    results.append({"metric": "tlwe_ks_mxu_insitu_L2",
+                    "value": round(ksm_ms, 4), "unit": "ms/op",
+                    "vs_baseline": None, "batch": batch})
+
     # ---- MV bootstrap phase 1 + K phase-2 LUT compositions in one jit ---
     K = 16
     lut_tables = [[(3 * i + j) % 4 for i in range(4)] for j in range(K)]

@@ -154,9 +154,10 @@ def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int):
         v = jnp.where(mask_u, fwd, x)
         u = jnp.where(mask_u, x, bwd)
         vw = _shoup_lazy(v, tw, tws, p)     # < 2p
-        add = _cond_sub(u + vw, 2 * p)
-        sub = _cond_sub(u + _U32(2 * p) - vw, 2 * p)
-        x = jnp.where(mask_u, add, sub)
+        # branchless: U lanes add vw, V lanes add 2p - vw; both < 4p then
+        # one conditional subtraction (bit-identical to the two-path form)
+        term = jnp.where(mask_u, vw, _U32(2 * p) - vw)
+        x = _cond_sub(u + term, 2 * p)
     return x
 
 

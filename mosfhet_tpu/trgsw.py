@@ -179,9 +179,66 @@ def mul_by_xai_minus_1(g: TRGSW, a) -> TRGSW:
 
 # --- the external product -----------------------------------------------------
 
-def external_product(c: TRLWE, g: TRGSWDFT) -> TRLWE:
+def _pallas_ep_eligible(g: TRGSWDFT) -> bool:
+    import os
+    if os.environ.get("MOSFHET_TPU_FORCE_JNP"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return (plat in ("tpu", "axon") and g.N >= 128
+            and g.N & (g.N - 1) == 0
+            and all((1 << 28) < p < (1 << 30) for p in g.primes))
+
+
+def _external_product_pallas(c: TRLWE, g: TRGSWDFT,
+                             interpret: bool = False) -> TRLWE:
+    """One fused-kernel external product: the apply kernel with a single
+    scan step (replace mode IS the product)."""
+    from .ops import pbs_kernel as _pk
+    k, N = g.k, g.N
+    kp = _pk.get_kernel_plan(N, g.primes, g.l, g.Bg_bit, k)
+    st = c.stacked()
+    batch = jnp.broadcast_shapes(st.shape[:-2], g.v.shape[:-4])
+    st = jnp.broadcast_to(st, batch + st.shape[-2:])
+    B = 1
+    for d in batch:
+        B *= d
+    x = st.reshape(B, k + 1, N)
+    pad = (-B) % kp.bt
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    per_row = g.v.ndim > 4
+    g32 = g.v.astype(jnp.uint32)
+    if per_row:
+        gv = jnp.broadcast_to(g32, batch + g32.shape[-4:]) \
+                .reshape(B, *g32.shape[-4:])
+        if pad:
+            gv = jnp.concatenate(
+                [gv, jnp.zeros((pad,) + gv.shape[1:], gv.dtype)], axis=0)
+        sa = gv[None]                                   # [G=1, B', J, C, P, N]
+    else:
+        sa = g32[None]                                  # [G=1, J, C, P, N]
+    out = _pk.ext_product_apply_scan(x, sa, kp, per_row=per_row,
+                                     interpret=interpret)
+    out = out[:B] if pad else out
+    return from_stacked(out.reshape(batch + (k + 1, N)))
+
+
+def external_product(c: TRLWE, g: TRGSWDFT, impl: str = "auto") -> TRLWE:
     """TRGSW (x) TRLWE — the hot kernel (`trgsw_mul_trlwe_DFT`,
-    `trgsw.c:385-423`).  Batched over leading axes of both operands."""
+    `trgsw.c:385-423`).  Batched over leading axes of both operands.
+
+    impl "auto" uses the fused Pallas apply kernel on TPU (Barrett
+    multiplies against g's residues; bit-identical to the jnp path),
+    jnp elsewhere."""
+    if impl == "auto":
+        impl = "pallas" if _pallas_ep_eligible(g) else "jnp"
+    if impl in ("pallas", "pallas_interpret"):
+        return _external_product_pallas(
+            c, g, interpret=(impl == "pallas_interpret"))
     plan = g.plan()
     digits = _trlwe.decompose(c, g.Bg_bit, g.l)                 # [..., J, N]
     spec = _ntt.to_ntt_small(digits, plan)                      # [..., J, P, N]

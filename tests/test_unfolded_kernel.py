@@ -148,3 +148,31 @@ def test_unfolded_bootstrap_e2e_kernel():
     want = np.asarray(luts, dtype=np.uint64)
     err = np.abs((ph - want).view(np.int64).astype(np.float64))
     assert err.max() <= float(1 << 58)
+
+
+def test_external_product_kernel_paths():
+    """trgsw.external_product pallas path == jnp, broadcast and per-row
+    keys, incl. batch padding."""
+    from mosfhet_tpu import trgsw
+    p = P_UNFOLD
+    k0, k1, k2, k3 = jax.random.split(jax.random.fold_in(KEY, 99), 4)
+    kr = trlwe.new_binary_key(k0, p.N, p.k, p.rlwe_sigma)
+    gk = trgsw.new_key(kr, p.l, p.Bg_bit)
+    plan = gk.plan()
+    m = rng.uniform_torus(k1, (3, p.N))          # batch 3: pad path
+    c = trlwe.encrypt(m, kr, k2)
+    g = trgsw.to_dft(trgsw.monomial_encrypt(1, 5, gk, k3), plan)
+    want = trgsw.external_product(c, g, impl="jnp")
+    got = trgsw.external_product(c, g, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    # per-row: a batch of TRGSWs (one per ciphertext row)
+    gs = jax.vmap(lambda e, rk: trgsw.to_dft(
+        trgsw.monomial_encrypt(1, e, gk, rk), plan).v)(
+        jnp.arange(3), jax.random.split(k3, 3))
+    gb = trgsw.TRGSWDFT(v=gs, vs=_ntt.make_shoup(gs, plan.p[:, None]),
+                        l=p.l, Bg_bit=p.Bg_bit, primes=plan.primes)
+    want2 = trgsw.external_product(c, gb, impl="jnp")
+    got2 = trgsw.external_product(c, gb, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want2.a), np.asarray(got2.a))
+    np.testing.assert_array_equal(np.asarray(want2.b), np.asarray(got2.b))
