@@ -124,7 +124,11 @@ def main():
     results.append({"metric": "gate_pbs_mxuks_L2",
                     "value": round(gate_mxu_ms, 3), "unit": "ms/gate",
                     "vs_baseline": round(40.9 / gate_mxu_ms, 2),
-                    "batch": batch, "decrypt_ok": bool(ok2)})
+                    "batch": batch, "decrypt_ok": bool(ok2),
+                    "note": "no-precomp/MXU KS variant: digit-magnitude "
+                            "noise (~3 bits worse, same as the reference's "
+                            "tlwe_keyswitch_no_precomp) exceeds the 4-gate "
+                            "chain budget at L2 — timing row only"})
     results.append({"metric": "tlwe_ks_mxu_insitu_L2",
                     "value": round(ksm_ms, 4), "unit": "ms/op",
                     "vs_baseline": None, "batch": batch})
@@ -162,6 +166,25 @@ def main():
                     "value": round(ph2_us, 2), "unit": "us/LUT",
                     "vs_baseline": round(7.0 / ph2_us, 2),
                     "batch": batch * K, "decrypt_ok": bool(ok)})
+
+    # ---- vectorized K-LUT phase 2 (phase2_many) -------------------------
+    def mv_pipeline_many(c, bk):
+        rot = bootstrap.multivalue_bootstrap_phase1(c, bk, 4)
+        return bootstrap.multivalue_bootstrap_phase2_many(
+            lut_tables, rot, 4, 2)
+
+    mpm = jax.jit(mv_pipeline_many)
+    t_many, outs_m = timeit(mpm, cs, bk)
+    ph2m_us = (t_many - t_p1) / K / batch * 1e6
+    ph = np.asarray(tlwe.phase(outs_m, key_out), np.uint64)
+    err = np.abs((ph - want).view(np.int64).astype(np.float64)).max()
+    okm = err <= 2.0**58
+    log(f"# mv_phase2_many in-situ: {ph2m_us:.2f} us/LUT "
+        f"(decrypt {'OK' if okm else 'FAIL'})")
+    results.append({"metric": "mv_phase2_many_insitu_L2",
+                    "value": round(ph2m_us, 2), "unit": "us/LUT",
+                    "vs_baseline": round(7.0 / ph2m_us, 2),
+                    "batch": batch * K, "decrypt_ok": bool(okm)})
 
     # ---- TRGSW bootstrap phase 1 + K phase-2 external products ----------
     tvs2 = trlwe.torus_packing(

@@ -402,6 +402,47 @@ def multivalue_bootstrap_phase2(lut_values, rotated: list[TRLWE],
     return out
 
 
+def multivalue_bootstrap_phase2_many(lut_tables, rotated: list[TRLWE],
+                                     torus_base: int,
+                                     log_torus_base: int) -> TLWE:
+    """Vectorized phase 2: compose MANY cleartext LUTs from one phase-1
+    result in one shot (TPU-first addition — the per-LUT
+    `multivalue_bootstrap_phase2` is dispatch-bound when K is large).
+
+    lut_tables: [K, torus_base] Python ints.  Returns TLWE with a leading
+    K axis (before the phase-1 batch dims).  Same math as K calls of
+    `multivalue_bootstrap_phase2` (`bootstrap.c:245-265`)."""
+    from . import tlwe as _tlwe
+    import numpy as np
+    K = len(lut_tables)
+    tb = torus_base
+    # weights per bit-plane j and rotation index i in {-1, 0, 1, 2}
+    w = np.zeros((log_torus_base, K, tb + 1), np.int64)
+    for j in range(log_torus_base):
+        for ki, lv in enumerate(lut_tables):
+            w0 = ((lv[0] >> j) & 1) + ((lv[tb - 1] >> j) & 1)
+            if w0 == 2:
+                w[j, ki, tb] = 1
+            else:
+                w[j, ki, 0] += w0
+            for i in range(1, tb):
+                w[j, ki, i] += ((lv[i] >> j) & 1) - ((lv[i - 1] >> j) & 1)
+    st = jnp.stack([r.stacked() for r in rotated])       # [tb+1, ..., C, N]
+    N, k = rotated[0].N, rotated[0].k
+    out = None
+    for j in range(log_torus_base):
+        # tmp[K] = sum_i w[K, i] * rotated[i]; weights in {-1,0,1,2} as
+        # wrapping torus scalars (XLA has no u64 dot — explicit sum)
+        wj = jnp.asarray(w[j], np.int64).astype(TORUS_DTYPE)   # [K, tb+1]
+        wshape = (K,) + (1,) * (st.ndim - 1)
+        tmp = sum(wj[:, i].reshape(wshape) * st[i][None]
+                  for i in range(tb + 1))
+        ext = _trlwe.mv_extract_tlwe_scaling_delta(
+            from_stacked(tmp), 1 << j)
+        out = ext if out is None else _tlwe.add(out, ext)
+    return out
+
+
 # --- UBR multi-value (`bootstrap.c:151-190`) -----------------------------------
 
 def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey,

@@ -129,3 +129,22 @@ def test_multivalue_UBR():
     sa = bootstrap.multivalue_bootstrap_UBR_phase1(c, bk)
     out = bootstrap.multivalue_bootstrap_UBR_phase2(tv, c, sa, bk, 4)
     assert_torus_within(1 << 58, luts[m], tlwe.phase(out, key_out), "UBR")
+
+
+def test_multivalue_phase2_many():
+    """Vectorized K-LUT phase 2 == K individual phase-2 calls, bit-exact."""
+    key_tlwe, _, key_out, _, bk = setup_keys(11)
+    m = 2
+    c = tlwe.encrypt(torus.double2torus(m / 8.0), key_tlwe,
+                     jax.random.fold_in(KEY, 82))
+    rot = bootstrap.multivalue_bootstrap_phase1(c, bk, 4)
+    luts = [[3, 0, 2, 1], [1, 1, 2, 3], [0, 3, 3, 0]]
+    many = bootstrap.multivalue_bootstrap_phase2_many(luts, rot, 4, 2)
+    for ki, lv in enumerate(luts):
+        one = bootstrap.multivalue_bootstrap_phase2(lv, rot, 4, 2)
+        np.testing.assert_array_equal(np.asarray(one.a),
+                                      np.asarray(many.a[ki]))
+        np.testing.assert_array_equal(np.asarray(one.b),
+                                      np.asarray(many.b[ki]))
+        assert_torus_within(1 << 58, torus.double2torus(lv[m] / 8.0),
+                            tlwe.phase(one, key_out), f"lut {ki}")
