@@ -19,6 +19,6 @@ def test_torus32_suite():
     suite = os.path.join(os.path.dirname(__file__), "_torus32_suite.py")
     r = subprocess.run(
         [sys.executable, "-m", "pytest", suite, "-q", "-p", "no:cacheprovider"],
-        env=env, capture_output=True, text=True, timeout=1200,
+        env=env, capture_output=True, text=True, timeout=3000,
         cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
