@@ -181,9 +181,16 @@ def _set_digit(c: Integer, i: int, v: TLWE) -> Integer:
                    signed=c.signed)
 
 
-def _zero_int(d: int, signed: bool, ctx: Context) -> Integer:
+def _batch_of(*ints) -> tuple:
+    """Leading batch dims of the digit axis (digits are [d, *batch])."""
+    shapes = [c.digits.b.shape[1:] for c in ints]
+    return jnp.broadcast_shapes(*shapes) if shapes else ()
+
+
+def _zero_int(d: int, signed: bool, ctx: Context, batch=()) -> Integer:
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
-    z = _tlwe.noiseless_trivial(jnp.zeros((d,), TORUS_DTYPE), n_out)
+    z = _tlwe.noiseless_trivial(jnp.zeros((d,) + tuple(batch), TORUS_DTYPE),
+                                n_out)
     return Integer(digits=z, signed=signed)
 
 
@@ -220,7 +227,7 @@ def sl_add_integer(a: Integer, g: int, b: Integer, h: int, out_d: int,
     (`ufhe_sl_add_integer`, `integer.c:79-107`)."""
     signed = a.signed or b.signed
     size = a.d if signed else min(max(a.d + g, b.d + h) + 1, out_d)
-    c = _zero_int(out_d, signed, ctx)
+    c = _zero_int(out_d, signed, ctx, _batch_of(a, b))
     quarter = double2torus(0.25)
     carry_init = double2torus(1.0 / (ctx.torus_base * 4))
     for i in range(size):
@@ -277,7 +284,7 @@ def sl_addto_integer(b: Integer, a: Integer, g: int, ctx: Context) -> Integer:
 
 def sub_integer(a: Integer, b: Integer, out_d: int, ctx: Context) -> Integer:
     """c = a - b (`ufhe_sub_integer`, `integer.c:135-155`)."""
-    c = _zero_int(out_d, a.signed or b.signed, ctx)
+    c = _zero_int(out_d, a.signed or b.signed, ctx, _batch_of(a, b))
     quarter = double2torus(0.25)
     carry_init = double2torus(1.0 / (ctx.torus_base * 4))
     for i in range(out_d):
@@ -317,12 +324,14 @@ def mul_integer(a: Integer, b: Integer, out_d: int, ctx: Context) -> Integer:
     size = a.d if signed else min(a.d + b.d + 1, out_d)
     tb, log_tb = ctx.torus_base, ctx.log_torus_base
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
-    c = _zero_int(out_d, signed, ctx)
+    batch = _batch_of(a, b)
+    c = _zero_int(out_d, signed, ctx, batch)
     for i in range(a.d):
         sel = _tlwe.keyswitch(_digit(a, i), ctx.keyset.ks_key)
         mv_tv = _bs.multivalue_bootstrap_phase1(
             sel, ctx.keyset.bootstrap_key, tb)
-        zero = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
+        zero = _tlwe.noiseless_trivial(
+            jnp.zeros(tuple(batch), TORUS_DTYPE), n_out)
         lut_mod = [zero, _digit(a, i)]
         lut_quo = [zero, zero]
         for j in range(2, tb):
@@ -334,8 +343,8 @@ def mul_integer(a: Integer, b: Integer, out_d: int, ctx: Context) -> Integer:
                                            ctx.keyset.packing_key)
         quo_tv = _ks.lut_packing_keyswitch(_stack_tlwe(lut_quo),
                                            ctx.keyset.packing_key)
-        prod = _zero_int(b.d, signed, ctx)
-        carry = _zero_int(b.d, signed, ctx)
+        prod = _zero_int(b.d, signed, ctx, batch)
+        carry = _zero_int(b.d, signed, ctx, batch)
         for j in range(b.d):
             if i + j >= size:
                 break
@@ -353,8 +362,15 @@ def mul_integer(a: Integer, b: Integer, out_d: int, ctx: Context) -> Integer:
 
 
 def _stack_tlwe(cs: list) -> TLWE:
-    return TLWE(a=jnp.stack([c.a for c in cs]),
-                b=jnp.stack([c.b for c in cs]))
+    """Stack LUT entries on the axis `lut_packing_keyswitch` expects
+    ([..., tb, n] — just before the mask axis), so batched digits keep
+    their leading batch dims."""
+    cs = [TLWE(a=jnp.broadcast_to(c.a, jnp.broadcast_shapes(
+               *[x.a.shape for x in cs])),
+               b=jnp.broadcast_to(c.b, jnp.broadcast_shapes(
+               *[x.b.shape for x in cs]))) for c in cs]
+    return TLWE(a=jnp.stack([c.a for c in cs], axis=-2),
+                b=jnp.stack([c.b for c in cs], axis=-1))
 
 
 def cmp_integer(a: Integer, b: Integer, ctx: Context) -> Integer:
@@ -363,8 +379,10 @@ def cmp_integer(a: Integer, b: Integer, ctx: Context) -> Integer:
     tb = ctx.torus_base
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
     size = max(a.d, b.d)
-    one = _tlwe.noiseless_trivial(_digit_torus(1, ctx), n_out)
-    c0 = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
+    batch = _batch_of(a, b)
+    one = _tlwe.noiseless_trivial(
+        jnp.broadcast_to(_digit_torus(1, ctx), tuple(batch)), n_out)
+    c0 = _tlwe.noiseless_trivial(jnp.zeros(tuple(batch), TORUS_DTYPE), n_out)
     for i in range(size):
         if i < a.d and i < b.d:
             diff = _tlwe.sub(_digit(a, i), _digit(b, i))
@@ -386,7 +404,7 @@ def cmp_integer(a: Integer, b: Integer, ctx: Context) -> Integer:
             c0 = _bs.functional_bootstrap(tv, sel, ctx.keyset.bootstrap_key,
                                           tb)
     c0 = TLWE(a=c0.a, b=c0.b + _digit_torus(1, ctx))
-    out = _zero_int(1, False, ctx)
+    out = _zero_int(1, False, ctx, batch)
     return _set_digit(out, 0, c0)
 
 

@@ -137,6 +137,64 @@ def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey) -> GABootstrapKey:
         primes=plan.primes, ks_primes=ks_plan.primes)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _ga_log_tables(N: int):
+    """Discrete-log decomposition of the odd automorphism group.
+
+    Every odd g mod 2N is uniquely (-1)^s * 3^e with e < N/2, so a
+    data-dependent permutation psi_g factors into log2(N/2)+1 CONDITIONAL
+    *static* permutations (per-row bits select each round) — XLA compiles
+    static gathers efficiently, where the direct per-row dynamic lane
+    gather of `_permute_dyn` serializes.
+
+    Returns (dlog[N] int32 with (e<<1)|s at index (g-1)/2,
+             perms: [(idx, neg)] for psi_{3^(2^i)},
+             neg_perm: (idx, neg) for psi_{-1})."""
+    order = N // 2
+    dlog = np.zeros(N, np.int32)
+    val = 1
+    for e in range(order):
+        dlog[(val - 1) >> 1] = e << 1
+        dlog[(2 * N - val - 1) >> 1] = (e << 1) | 1
+        val = (val * 3) % (2 * N)
+
+    def mk(ginv):
+        j = np.arange(N)
+        ic = (j * ginv) % (2 * N)
+        neg = ic >= N
+        return (np.where(neg, ic - N, ic).astype(np.int32), neg)
+
+    perms = []
+    h = 3
+    for _ in range(order.bit_length() - 1):
+        perms.append(mk(pow(h, -1, 2 * N)))
+        h = (h * h) % (2 * N)
+    neg_perm = mk(2 * N - 1)                   # (-1)^-1 = -1 mod 2N
+    return dlog, perms, neg_perm
+
+
+def _permute_log(x, gen, N: int):
+    """psi_gen via the +-3^e factorization: conditional static gathers.
+    x: [..., C, N]; gen: [...] odd int32.  Same values as `_permute_dyn`."""
+    dlog, perms, neg_perm = _ga_log_tables(N)
+    se = jnp.take(jnp.asarray(dlog), (gen - 1) >> 1, axis=0)   # [...]
+    e = se >> 1
+    s = se & 1
+    for i, (idx, neg) in enumerate(perms):
+        bit = (((e >> i) & 1) == 1)[..., None, None]
+        g = jnp.take(x, jnp.asarray(idx), axis=-1)
+        g = jnp.where(jnp.asarray(neg), TORUS_DTYPE(0) - g, g)
+        x = jnp.where(bit, g, x)
+    idx, neg = neg_perm
+    bit = (s == 1)[..., None, None]
+    g = jnp.take(x, jnp.asarray(idx), axis=-1)
+    g = jnp.where(jnp.asarray(neg), TORUS_DTYPE(0) - g, g)
+    return jnp.where(bit, g, x)
+
+
 def _permute_dyn(x, gen, inv2n, N: int):
     """Galois permute with a traced odd generator; x: [..., C, N],
     gen: [...] int32."""
@@ -234,9 +292,9 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
             return (r[:B] if pad else r).reshape(batch + (k + 1, N))
 
         def auto_ks(acc_st, gen):
-            """Permute (XLA gather) + fused keyswitch kernel with the
-            per-row gathered keyset entry."""
-            perm = _permute_dyn(acc_st, gen, bk.inv2n, N)
+            """Permute (log-factored static gathers) + fused keyswitch
+            kernel with the per-row gathered keyset entry."""
+            perm = _permute_log(acc_st, gen, N)
             x = jnp.broadcast_to(perm, batch + (k + 1, N)
                                  ).reshape(B, k + 1, N)
             kidx = jnp.broadcast_to((gen - 1) >> 1, batch).reshape(B)

@@ -92,3 +92,45 @@ def test_lut_and_mux(ctx_keys):
                                 priv, ctx)
     out = ufhe.mux_integer_array(sel1, vec, 2, ctx)
     assert ufhe.decrypt_integer(out, priv, ctx) == 7
+
+
+def test_batched_integers(ctx_keys):
+    """A batch of integer pairs flows through add/cmp in one call; every
+    element decrypts (the TPU-first batching the reference lacks)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mosfhet_tpu import tlwe, torus
+    priv, ctx = ctx_keys
+    B = 3
+    vals_a = [5, 11, 2]
+    vals_b = [7, 3, 2]
+    prec = 4
+    d = ufhe._n_digits(prec, ctx)
+    mask = ctx.torus_base - 1
+    lt = ctx.log_torus_base
+
+    def enc(vals, seed):
+        digs = jnp.stack([(jnp.asarray(vals) >> (i * lt)) & mask
+                          for i in range(d)])
+        c = tlwe.encrypt(ufhe._digit_torus(digs, ctx), priv.extracted,
+                         jax.random.fold_in(KEY, seed))
+        return ufhe.Integer(digits=c, signed=False)
+
+    a = enc(vals_a, 70)
+    b = enc(vals_b, 71)
+    s = ufhe.add_integer(a, b, d + 1, ctx)
+    ph = tlwe.phase(s.digits, priv.extracted)          # [d+1, B]
+    vals = np.asarray(jnp.round(
+        torus.torus2double(ph) * (2 * ctx.torus_base)).astype(jnp.int64)
+        % ctx.torus_base)
+    got = np.zeros(B, np.int64)
+    for i in range(vals.shape[0] - 1, -1, -1):
+        got = (got << lt) | vals[i]
+    np.testing.assert_array_equal(
+        got, np.asarray(vals_a) + np.asarray(vals_b))
+    c = ufhe.cmp_integer(a, b, ctx)
+    phc = tlwe.phase(c.digits, priv.extracted)[0]
+    gotc = np.asarray(jnp.round(
+        torus.torus2double(phc) * (2 * ctx.torus_base)).astype(jnp.int64)
+        % ctx.torus_base)
+    np.testing.assert_array_equal(gotc, [0, 2, 1])     # <, >, ==
