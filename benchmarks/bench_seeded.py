@@ -39,17 +39,20 @@ def main():
     kk = jax.random.split(key, 6)
     key_trlwe = trlwe.new_binary_key(kk[0], p.N, p.k, p.rlwe_sigma)
     key_out = trlwe.extract_tlwe_key(key_trlwe)
-    tb = 4
+    # table-scale knob: torus_base (keeps t*base_bit decomposition depth,
+    # so correctness is unaffected; halves the table at tb=2)
+    tb = int(os.environ.get("BENCH_TB", "4"))
+    t_ks = p.t
 
     t0 = time.time()
     dense = jax.jit(lambda r, ok, ik: ks.new_lut_packing_ks_key(
-        r, ok, ik, p.t, p.base_bit, tb))(kk[1], key_trlwe, key_out)
+        r, ok, ik, t_ks, p.base_bit, tb))(kk[1], key_trlwe, key_out)
     jax.block_until_ready(dense.table)
     log(f"# dense keygen {time.time()-t0:.0f}s "
         f"({dense.table.nbytes/2**30:.2f} GiB)")
     t0 = time.time()
     seeded = jax.jit(lambda r, ok, ik: ks.new_lut_packing_ks_key_seeded(
-        r, ok, ik, p.t, p.base_bit, tb))(kk[2], key_trlwe, key_out)
+        r, ok, ik, t_ks, p.base_bit, tb))(kk[2], key_trlwe, key_out)
     jax.block_until_ready(seeded.b)
     s_bytes = seeded.b.nbytes + seeded.seeds.nbytes
     log(f"# seeded keygen {time.time()-t0:.0f}s ({s_bytes/2**30:.2f} GiB)")

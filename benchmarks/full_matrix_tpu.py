@@ -1,0 +1,217 @@
+"""Full-scale parameter pass/fail matrix at the reference's NATIVE
+parameters, on real TPU.
+
+The CI matrix (tests/test_param_matrix.py) runs scaled sets; this runs the
+same op family at SET_1/2/3 + TFHEPP_L2 exactly as the reference's
+`tests.c:36-63` defines them, one jitted program per op.  The SET_2 column
+should reproduce the reference's measured 31/41 behavior: tlwe_mul,
+trgsw_mul, registers, circuit bootstrap, FDFB KS21/CLOT21 and the TRGSW
+bootstrap fail under l=1 / Bg=23; PBS and fdfb_this_work pass
+(BASELINE.md, reference README:83).
+
+Prints one JSON line per (set, op): {"set", "op", "ok", "detail"}.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def _err(want, got):
+    d = np.abs(np.asarray(
+        jnp.asarray(got, jnp.uint64) - jnp.asarray(want, jnp.uint64)
+    ).view(np.int64).astype(np.float64))
+    return float(d.max())
+
+
+def run_set(set_name):
+    from mosfhet_tpu import (params, tlwe, trlwe, trgsw, bootstrap,
+                             bootstrap_ga, keyswitch as ks, product, rng,
+                             torus)
+    p = params.get_params(set_name)
+    KEY = jax.random.PRNGKey(20260817)
+    kk = jax.random.split(jax.random.fold_in(KEY, hash(set_name) % 97), 10)
+    t0 = time.time()
+    key_tlwe = tlwe.new_binary_key(kk[0], p.n, p.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(kk[1], p.N, p.k, p.rlwe_sigma)
+    key_out = trlwe.extract_tlwe_key(key_trlwe)
+    gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
+    bk = jax.jit(lambda r, k_: bootstrap.new_key(r, gk, k_, 1))(
+        kk[2], key_tlwe)
+    jax.block_until_ready(bk.v)
+    rlk = jax.jit(lambda r, k_: ks.new_rl_key(r, k_, 2, 20))(
+        kk[5], key_trlwe)
+    ksk1 = jax.jit(lambda r, ok, ik: ks.new_packing1_ks_key(
+        r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out)
+    kska = jax.jit(lambda r, ok, ik: ks.new_priv_sk_ks_key(
+        r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out)
+    pair = jax.jit(lambda r, a, b: ks.new_priv_ks_key_pair(
+        r, a, b, p.t, p.base_bit))(kk[8], key_trlwe, key_trlwe)
+    tksk = jax.jit(lambda r, a, b: tlwe.new_ks_key(
+        r, a, b, p.t, p.base_bit))(kk[9], key_tlwe, key_out)
+    log(f"# {set_name}: keys {time.time()-t0:.0f}s")
+
+    rows = []
+
+    def report(op, ok, detail):
+        rows.append({"set": set_name, "op": op, "ok": bool(ok),
+                     "detail": detail})
+        log(f"# {set_name:10s} {op:22s} {'pass' if ok else 'FAIL'} "
+            f"({detail})")
+
+    luts = rng.uniform_torus(kk[3], (4,))
+    tv = trlwe.torus_packing(luts, p.k, p.N)
+    ms = torus.double2torus(jnp.arange(4) / 8.0)
+    cs = jax.jit(lambda m, r: tlwe.encrypt(m, key_tlwe, r))(ms, kk[4])
+
+    # pbs
+    out = jax.jit(lambda tv, c, bk: bootstrap.functional_bootstrap(
+        tv, c, bk, 4))(tv, cs, bk)
+    e = _err(luts, tlwe.phase(out, key_out))
+    report("pbs", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
+
+    # tlwe_mul
+    in1, in2 = 5, 11
+    c1 = tlwe.encrypt(torus.int2torus(jnp.uint64(in1), 4), key_out,
+                      jax.random.fold_in(KEY, 11))
+    c2 = tlwe.encrypt(torus.int2torus(jnp.uint64(in2), 4), key_out,
+                      jax.random.fold_in(KEY, 12))
+    om = jax.jit(lambda a, b, k1, k2: product.tlwe_mul(a, b, 4, k1, k2))(
+        c1, c2, ksk1, rlk)
+    res = int(torus.torus2int(tlwe.phase(om, key_out), 4)) % 16
+    report("tlwe_mul", res == (in1 * in2) % 16, f"digit {res}")
+
+    # trgsw_mul + reg_sub (exponent oracle)
+    g1 = trgsw.monomial_encrypt(1, 5, gk, jax.random.fold_in(KEY, 13))
+    g2 = trgsw.monomial_encrypt(1, 3, gk, jax.random.fold_in(KEY, 14))
+    prod = jax.jit(lambda a, b: trgsw.mul_trgsw_dft(
+        a, trgsw.to_dft(b, gk.plan())))(g1, g2)
+    eexp = int(jax.jit(lambda g: trgsw.debug_decrypt_exp_dft(g, gk))(prod))
+    report("trgsw_mul", eexp == 8, f"exp {eexp}")
+    r1 = trgsw.reg_encrypt(9, gk, jax.random.fold_in(KEY, 15))
+    r2 = trgsw.reg_encrypt(4, gk, jax.random.fold_in(KEY, 16))
+    rs = jax.jit(trgsw.reg_sub)(r1, r2)
+    eexp = int(jax.jit(lambda g: trgsw.debug_decrypt_exp_dft(g, gk))(
+        rs.positive))
+    report("trgsw_reg_sub", eexp == 5, f"exp {eexp}")
+
+    # circuit bootstrap v1 (k=1 only)
+    m0 = rng.uniform_torus(jax.random.fold_in(KEY, 17), (p.N,))
+    ctrl = trlwe.encrypt(m0, key_trlwe, jax.random.fold_in(KEY, 18))
+    cb = tlwe.encrypt(torus.double2torus(1 / 4.0), key_tlwe,
+                      jax.random.fold_in(KEY, 19))
+
+    def cb_fn(c, bk, kska, kskb, ctrl):
+        g = bootstrap.circuit_bootstrap(c, bk, kska, kskb, p.l, p.Bg_bit)
+        return trgsw.external_product(ctrl, trgsw.to_dft(g, gk.plan()))
+    out = jax.jit(cb_fn)(cb, bk, kska, ksk1, ctrl)
+    e = _err(m0, trlwe.phase(out, key_trlwe))
+    report("circuit_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
+
+    # fdfb_ks21
+    luts8 = rng.uniform_torus(jax.random.fold_in(KEY, 20), (8,))
+    if p.N % (8 * p.l) == 0 or True:
+        tvp = jnp.repeat(luts8, (2 * p.N) // 8)
+        cm = tlwe.encrypt(torus.int2torus(jnp.uint64(5), 3), key_tlwe,
+                          jax.random.fold_in(KEY, 21))
+        try:
+            out = jax.jit(lambda tvp, c, bk, k_: bootstrap.fdfb_ks21(
+                tvp, c, bk, k_, 8))(tvp, cm, bk, ksk1)
+            e = _err(luts8[5], tlwe.phase(out, key_out))
+            report("fdfb_ks21", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
+        except Exception as ex:
+            report("fdfb_ks21", False, f"shape: {type(ex).__name__}")
+
+    # fdfb_clot21
+    lutsq = torus.int2torus(
+        rng.uniform_torus(jax.random.fold_in(KEY, 22), (8,))
+        & jnp.uint64(15), 4)
+    tv0 = trlwe.torus_packing(lutsq[:4], p.k, p.N)
+    tv1 = trlwe.torus_packing(lutsq[4:], p.k, p.N)
+    cm = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe,
+                      jax.random.fold_in(KEY, 23))
+    out = jax.jit(lambda a, b, c, bk, k1, k2: bootstrap.fdfb_clot21(
+        a, b, c, bk, k1, k2, 4))(tv0, tv1, cm, bk, ksk1, rlk)
+    e = _err(lutsq[6], tlwe.phase(out, key_out))
+    report("fdfb_clot21", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
+
+    # fdfb_this_work
+    luts8b = rng.uniform_torus(jax.random.fold_in(KEY, 24), (8,))
+    tvm = trlwe.torus_packing_many_lut(luts8b, 4, 2, p.k, p.N)
+    cm = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe,
+                      jax.random.fold_in(KEY, 25))
+    out = jax.jit(lambda tv, c, bk, k_: bootstrap.fdfb_this_work(
+        tv, c, bk, k_, 3))(tvm, cm, bk, tksk)
+    e = _err(luts8b[6], tlwe.phase(out, key_out))
+    report("fdfb_this_work", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
+
+    # trgsw bootstrap
+    cm = tlwe.encrypt(torus.double2torus(2 / 8.0), key_tlwe,
+                      jax.random.fold_in(KEY, 26))
+
+    def tb_fn(c, bk, tv):
+        g = bootstrap.functional_bootstrap_trgsw_phase1(c, bk, 4, p.l,
+                                                        p.Bg_bit)
+        return bootstrap.functional_bootstrap_trgsw_phase2(g, tv)
+    out = jax.jit(tb_fn)(cm, bk, tv)
+    e = _err(luts[2], tlwe.phase(out, key_out))
+    report("trgsw_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
+
+    # priv_ks pair
+    from mosfhet_tpu import polynomial as poly
+    mm = rng.uniform_torus(jax.random.fold_in(KEY, 27), (p.N,))
+    cc = trlwe.encrypt(mm, key_trlwe, jax.random.fold_in(KEY, 28))
+    out = jax.jit(ks.priv_keyswitch_2)(cc, pair)
+    want = (jnp.uint64(0) - poly.ntt_mul_small(
+        jnp.asarray(key_trlwe.s[0], jnp.int32), mm, key_trlwe.plan()))
+    e = _err(want, trlwe.phase(out, key_trlwe))
+    report("priv_ks", e <= 2.0**50, f"2^{math.log2(e+1):.1f}")
+
+    # GA bootstrap (envelope: n < 2N/torus_base)
+    try:
+        bkg = jax.jit(lambda r, k_: bootstrap_ga.new_key(r, gk, k_))(
+            jax.random.fold_in(KEY, 29), key_tlwe)
+        jax.block_until_ready(bkg.ak_v)
+        cm = tlwe.encrypt(torus.double2torus(3 / 8.0), key_tlwe,
+                          jax.random.fold_in(KEY, 30))
+        out = jax.jit(lambda tv, c, bk: bootstrap_ga.functional_bootstrap_ga(
+            tv, c, bk, 4))(tv, cm, bkg)
+        e = _err(luts[3], tlwe.phase(out, key_out))
+        report("ga_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
+        del bkg
+    except Exception as ex:
+        report("ga_bootstrap", False, f"{type(ex).__name__}")
+
+    return rows
+
+
+def main():
+    sets = os.environ.get("MATRIX_SETS", "SET_1,SET_2,SET_3,TFHEPP_L2")
+    all_rows = []
+    for s in sets.split(","):
+        try:
+            all_rows.extend(run_set(s))
+        except Exception as ex:
+            log(f"# {s} aborted: {type(ex).__name__}: {ex}")
+            all_rows.append({"set": s, "op": "__aborted__", "ok": False,
+                             "detail": str(ex)[:120]})
+        import gc
+        gc.collect()
+    for r in all_rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
