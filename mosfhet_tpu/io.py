@@ -412,11 +412,17 @@ def export_mosfhet_trlwe_ks_key(f, ksk):
 
 def _read_compressed_trlwe_batch(f, count: int, k: int, N: int, prng: str,
                                  aes_key: bytes | None = None):
-    """Read `count` compressed TRLWE samples (16-byte seed + b[N]) and
-    expand their masks, returning stacked [count, k+1, N] u64."""
+    """Read `count` TRLWE samples and expand their masks, returning
+    stacked [count, k+1, N] u64.  prng "shake"/"xoroshiro"/"vaes" read the
+    compressed form (16-byte seed + b[N]); "none" reads plain samples
+    (the reference's A_PRNG=none build stores full a + b)."""
     from . import seeded as _seeded
     from .seeded import MosfhetSeededTRLWE
     out = np.zeros((count, k + 1, N), dtype=np.uint64)
+    if prng == "none":
+        for i in range(count):
+            out[i] = _read_u64(f, (k + 1) * N).reshape(k + 1, N)
+        return out
     for i in range(count):
         seed = np.frombuffer(f.read(16), dtype=np.uint8).copy()
         b = _read_u64(f, N).copy()
@@ -429,6 +435,27 @@ def _read_compressed_trlwe_batch(f, count: int, k: int, N: int, prng: str,
         out[i, :k] = a
         out[i, k] = b
     return out
+
+
+def export_mosfhet_packing_ks_key(f, key):
+    """Write a LUT-packing KS key in `trlwe_save_packing_KS_key` layout
+    with PLAIN samples — readable by the reference's A_PRNG=none build
+    (compressed-sample export would need reference-PRNG-seeded keys; our
+    native keys are threefry-seeded)."""
+    n, tb, t, base_m1, C, N = key.table.shape
+    base_bit = key.base_bit
+    f.write(struct.pack("<iiiiii", base_bit, t, tb, n, C - 1, N))
+    _write_u64(f, np.asarray(key.table, np.uint64))
+
+
+def export_mosfhet_generic_ks_key(f, key):
+    """`trlwe_save_generic_ks_key` layout with plain samples (A_PRNG=none
+    build)."""
+    nb, t, base_m1, C, N = key.table.shape
+    n = nb - (1 if key.include_b else 0)
+    f.write(struct.pack("<iiiiii", key.base_bit, t, n, C - 1, N,
+                        1 if key.include_b else 0))
+    _write_u64(f, np.asarray(key.table, np.uint64))
 
 
 def import_mosfhet_packing_ks_key(f, prng: str = "shake",
