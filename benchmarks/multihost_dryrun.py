@@ -67,9 +67,9 @@ def worker(nproc: int, rank: int, port: int):
     tv_b = mh.distribute_batch(
         np.broadcast_to(np.asarray(tv1.b), (local_b,) + tv1.b.shape).copy(),
         mesh)
-    bk_g = mh.replicate(bk, mesh)
+    bk_g = mh.replicate(bk, mesh)   # one DCN key broadcast at setup
 
-    run = mh.pbs_on_global_mesh(mesh, bk, torus_base=4, model_axis=None)
+    run = mh.pbs_on_global_mesh(mesh, bk_g, torus_base=4, model_axis=None)
     out = run(trlwe.TRLWE(a=tv_a, b=tv_b), tlwe.TLWE(a=ca, b=cb))
     jax.block_until_ready(out.b)
 

@@ -365,12 +365,12 @@ def _stack_tlwe(cs: list) -> TLWE:
     """Stack LUT entries on the axis `lut_packing_keyswitch` expects
     ([..., tb, n] — just before the mask axis), so batched digits keep
     their leading batch dims."""
-    cs = [TLWE(a=jnp.broadcast_to(c.a, jnp.broadcast_shapes(
-               *[x.a.shape for x in cs])),
-               b=jnp.broadcast_to(c.b, jnp.broadcast_shapes(
-               *[x.b.shape for x in cs]))) for c in cs]
-    return TLWE(a=jnp.stack([c.a for c in cs], axis=-2),
-                b=jnp.stack([c.b for c in cs], axis=-1))
+    ash = jnp.broadcast_shapes(*[c.a.shape for c in cs])
+    bsh = jnp.broadcast_shapes(*[c.b.shape for c in cs])
+    return TLWE(a=jnp.stack([jnp.broadcast_to(c.a, ash) for c in cs],
+                            axis=-2),
+                b=jnp.stack([jnp.broadcast_to(c.b, bsh) for c in cs],
+                            axis=-1))
 
 
 def cmp_integer(a: Integer, b: Integer, ctx: Context) -> Integer:
@@ -435,7 +435,7 @@ def lut_integer(selector: Integer, lut_values, size: int, out_d: int,
     mask = tb - 1
     sel0 = _tlwe.keyswitch(_digit(selector, 0), ctx.keyset.ks_key)
     mv_tv = _bs.multivalue_bootstrap_phase1(sel0, ctx.keyset.bootstrap_key, tb)
-    out = _zero_int(out_d, False, ctx)
+    out = _zero_int(out_d, False, ctx, _batch_of(selector))
     for j in range(out_d):
         enc = []
         for i in range(size // tb):
@@ -454,8 +454,10 @@ def mux_integer_array(selector: Integer, vec: list, out_d: int,
     """out = vec[selector] (`ufhe_mux_integer_array`, `lut.c:49-64`)."""
     tb = ctx.torus_base
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
-    zero = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
-    out = _zero_int(out_d, False, ctx)
+    batch = _batch_of(selector, *vec)
+    zero = _tlwe.noiseless_trivial(jnp.zeros(tuple(batch), TORUS_DTYPE),
+                                   n_out)
+    out = _zero_int(out_d, False, ctx, batch)
     for i in range(out_d):
         lut = [_digit(v, i) for v in vec]
         while len(lut) % tb:
@@ -470,8 +472,10 @@ def relu_integer(a: Integer, ctx: Context) -> Integer:
     n_out = ctx.keyset.params.k * ctx.keyset.params.N
     p = ctx.keyset.params
     sel = _tlwe.keyswitch(_digit(a, a.d - 1), ctx.keyset.ks_key)
-    zero = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
-    out = _zero_int(a.d, a.signed, ctx)
+    batch = _batch_of(a)
+    zero = _tlwe.noiseless_trivial(jnp.zeros(tuple(batch), TORUS_DTYPE),
+                                   n_out)
+    out = _zero_int(a.d, a.signed, ctx, batch)
     for i in range(a.d - 1):
         lut = [_digit(a, i)] * (tb // 2) + [zero] * (tb - tb // 2)
         tv = _ks.lut_packing_keyswitch(_stack_tlwe(lut),

@@ -124,18 +124,10 @@ def new_key(rkey, out_key: TRGSWKey, in_key: TLWEKey,
 
 def _pallas_eligible(bk: "BootstrapKey") -> bool:
     """The fused Pallas kernel runs on real TPU devices for power-of-two N
-    with all NTT primes in (2^28, 2^30) (see `ops/pbs_kernel.py`)."""
-    import os
-    if os.environ.get("MOSFHET_TPU_FORCE_JNP"):
-        return False
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    if plat not in ("tpu", "axon"):
-        return False
-    return (bk.N >= 128 and bk.N & (bk.N - 1) == 0
-            and all((1 << 28) < p < (1 << 30) for p in bk.primes))
+    with all NTT primes in (2^28, 2^30) (`ops/pbs_kernel.kernel_eligible`
+    is the single source of truth)."""
+    from .ops.pbs_kernel import kernel_eligible
+    return kernel_eligible(bk.N, bk.primes)
 
 
 def _pallas_rotate_flat(acc0, a_int, bk: BootstrapKey, l: int, Bg_bit: int):
@@ -238,13 +230,14 @@ def _blind_rotate_unfolded_pallas(tv: TRLWE, a, bk: BootstrapKey,
     N, k = bk.N, bk.k
     kp = _pk.get_kernel_plan(N, bk.primes, bk.l, bk.Bg_bit, k)
     a_arr = jnp.asarray(a, TORUS_DTYPE)
-    batch = a_arr.shape[:-1]
+    st = tv.stacked()
+    batch = jnp.broadcast_shapes(a_arr.shape[:-1], st.shape[:-2])
     B = 1
     for d in batch:
         B *= d
-    acc0 = jnp.broadcast_to(
-        tv.stacked(), batch + (k + 1, N)).reshape(B, k + 1, N)
-    rot = _unfold_rotations(a_arr.reshape(B, -1), bk)    # [B, G, M]
+    acc0 = jnp.broadcast_to(st, batch + (k + 1, N)).reshape(B, k + 1, N)
+    a_full = jnp.broadcast_to(a_arr, batch + a_arr.shape[-1:])
+    rot = _unfold_rotations(a_full.reshape(B, -1), bk)   # [B, G, M]
     pad = (-B) % kp.bt
     if pad:
         acc0 = jnp.concatenate(

@@ -250,12 +250,9 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
              .astype(jnp.int32) | 1)                       # [..., n] odd
     w = jnp.take(bk.inv2n, (a_int - 1) >> 1, axis=0)       # inverses
 
-    class _FakeBK:                                         # eligibility probe
-        pass
-    _f = _FakeBK()
-    _f.N, _f.primes = N, bk.primes
     if impl == "auto":
-        impl = ("pallas" if TORUS_BITS == 64 and _bs._pallas_eligible(_f)
+        from .ops.pbs_kernel import kernel_eligible
+        impl = ("pallas" if TORUS_BITS == 64 and kernel_eligible(N, bk.primes)
                 else "jnp")
 
     batch = a_int.shape[:-1]

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 MAGIC = "mosfhet_tpu"
-VERSION = 1
+# v2: BootstrapKey.su became u32 limb planes [nl, n/u, 2^u, (k+1)l, k+1, N]
+# (was u64 [n/u, 2^u, (k+1)l, k+1, N]); v1 files are migrated on load.
+VERSION = 2
 
 # Registry of serializable flax.struct dataclasses, filled lazily to avoid
 # import cycles.
@@ -113,6 +115,29 @@ def save(path, obj):
             z.writestr(name + ".npy", buf.getvalue())
 
 
+def _migrate_v1(obj):
+    """v1 -> v2: re-split u64 BootstrapKey.su into limb planes (recursive
+    over containers/dataclasses)."""
+    from .bootstrap import BootstrapKey, _split_su_planes
+    # v1 su is [n/u, 2^u, (k+1)l, k+1, N] (5-D, torus dtype); v2 adds the
+    # leading limb-plane axis (6-D u32) — ndim disambiguates both widths
+    if isinstance(obj, BootstrapKey) and obj.su is not None \
+            and obj.su.ndim == 5:
+        return BootstrapKey(v=obj.v, vs=obj.vs, su=_split_su_planes(obj.su),
+                            n=obj.n, k=obj.k, N=obj.N, l=obj.l,
+                            Bg_bit=obj.Bg_bit, unfolding=obj.unfolding,
+                            primes=obj.primes)
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_migrate_v1(x) for x in obj)
+    if isinstance(obj, dict):
+        return {k: _migrate_v1(v) for k, v in obj.items()}
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        kw = {f.name: _migrate_v1(getattr(obj, f.name))
+              for f in dataclasses.fields(obj)}
+        return type(obj)(**kw)
+    return obj
+
+
 def load(path):
     with zipfile.ZipFile(path, "r") as z:
         manifest = json.loads(z.read("manifest.json"))
@@ -123,7 +148,10 @@ def load(path):
             if name.endswith(".npy"):
                 arrays[name[:-4]] = np.load(_io.BytesIO(z.read(name)),
                                             allow_pickle=False)
-    return _decode(manifest["root"], arrays, _registry())
+    obj = _decode(manifest["root"], arrays, _registry())
+    if manifest["version"] < 2:
+        obj = _migrate_v1(obj)
+    return obj
 
 
 # =========================================================================
@@ -424,7 +452,12 @@ def _read_compressed_trlwe_batch(f, count: int, k: int, N: int, prng: str,
             out[i] = _read_u64(f, (k + 1) * N).reshape(k + 1, N)
         return out
     for i in range(count):
-        seed = np.frombuffer(f.read(16), dtype=np.uint8).copy()
+        if prng == "vaes":
+            # the vaes build writes a 128-byte seed field (ID_SIZE used as
+            # an element count — see import_mosfhet_compressed_trlwe_vaes)
+            seed = np.frombuffer(f.read(128)[:16], dtype=np.uint8).copy()
+        else:
+            seed = np.frombuffer(f.read(16), dtype=np.uint8).copy()
         b = _read_u64(f, N).copy()
         if prng == "vaes":
             a = _expand_aes_mask(seed.tobytes(), aes_key, k, N)

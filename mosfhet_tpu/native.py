@@ -27,16 +27,40 @@ _lib = None
 _lib_tried = False
 
 
+_REQUIRED_SYMBOLS = ("mosfhet_xoroshiro_expand", "mosfhet_xoroshiro_next_n",
+                     "mosfhet_shake128", "mosfhet_shake256",
+                     "mosfhet_aes128_ctr", "mosfhet_aes128_ctr_le")
+
+
 def _load():
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+
+    def _rebuild():
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B", "-s"],
+                           check=True, capture_output=True, timeout=120)
+            return True
         except Exception:
+            return False
+
+    if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+        if not _rebuild():
+            return None
+    # a stale .so (built before a symbol was added) must trigger a rebuild,
+    # not an AttributeError that takes down the numpy-fallback paths
+    try:
+        probe = ctypes.CDLL(_LIB_PATH)
+        missing = [s for s in _REQUIRED_SYMBOLS if not hasattr(probe, s)]
+    except OSError:
+        missing = list(_REQUIRED_SYMBOLS)
+    if missing:
+        if not (os.path.isdir(_NATIVE_DIR) and _rebuild()):
+            return None
+        probe = ctypes.CDLL(_LIB_PATH)
+        if any(not hasattr(probe, s) for s in _REQUIRED_SYMBOLS):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -54,6 +54,24 @@ _U32 = jnp.uint32
 DEFAULT_BT = 32
 
 
+def kernel_eligible(N: int, primes) -> bool:
+    """Single source of truth for when the fused kernels can run: a real
+    TPU device, power-of-two N >= 128 (one lane tile), and every NTT prime
+    inside the u32-lazy window (2^28, 2^30).  `MOSFHET_TPU_FORCE_JNP`
+    disables globally.  (The dynamic-key paths additionally need
+    p > 2^30/1.75 for `_barrett_lazy` — asserted where the plan's Barrett
+    constants are built, `ntt.NTTPlan`.)"""
+    import os
+    if os.environ.get("MOSFHET_TPU_FORCE_JNP"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return (plat in ("tpu", "axon") and N >= 128 and N & (N - 1) == 0
+            and all((1 << 28) < p < (1 << 30) for p in primes))
+
+
 # ---------------------------------------------------------------------------
 # u32 modular primitives (kernel-internal)
 # ---------------------------------------------------------------------------

@@ -180,16 +180,8 @@ def mul_by_xai_minus_1(g: TRGSW, a) -> TRGSW:
 # --- the external product -----------------------------------------------------
 
 def _pallas_ep_eligible(g: TRGSWDFT) -> bool:
-    import os
-    if os.environ.get("MOSFHET_TPU_FORCE_JNP"):
-        return False
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return (plat in ("tpu", "axon") and g.N >= 128
-            and g.N & (g.N - 1) == 0
-            and all((1 << 28) < p < (1 << 30) for p in g.primes))
+    from .ops.pbs_kernel import kernel_eligible
+    return kernel_eligible(g.N, g.primes)
 
 
 def _external_product_pallas(c: TRLWE, g: TRGSWDFT,
