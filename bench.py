@@ -102,7 +102,7 @@ def main():
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "bench_torus32.py")],
-                env=env, capture_output=True, text=True, timeout=2400)
+                env=env, capture_output=True, text=True, timeout=1500)
             row = json.loads(r.stdout.strip().splitlines()[-1])
             result["torus32_boot_s"] = row["value"]
             result["torus32_decrypt_ok"] = row["decrypt_ok"]

@@ -924,6 +924,126 @@ def ext_product_apply_scan(acc0, sa32, kp: PBSKernelPlan,
 
 
 # ---------------------------------------------------------------------------
+# TLWE keyswitch kernel (`tlwe_keyswitch`, reference `tlwe.c:289-303`)
+#
+#   out = (0, b) - sum_{i<n_in, j<t, d_ij != 0} KS[i][j][d_ij - 1]
+#
+# The reference's `if aij != 0` table subtraction becomes, per (i, j), a
+# (base-1)-way select chain over the table rows resident in VMEM followed
+# by one u64-limb accumulate.  The table streams through VMEM in n_in
+# chunks (grid dim) while the accumulator lives in scratch — XLA's gather
+# formulation materializes [batch, chunk, t, n_out] u64 temporaries
+# instead and runs ~4x slower at L2.
+# ---------------------------------------------------------------------------
+
+def _make_tlwe_ks_kernel(chunk_i: int, t: int, base_m1: int, npad: int,
+                         bt: int, nl: int, n_chunks: int):
+    def kernel(*refs):
+        dig_ref = refs[0]
+        tlo_ref = refs[1]
+        i = 2
+        thi_ref = None
+        if nl == 2:
+            thi_ref = refs[i]
+            i += 1
+        out_ref = refs[i]
+        alo_ref = refs[i + 1]
+        ahi_ref = refs[i + 2] if nl == 2 else None
+        ch = pl.program_id(1)
+
+        @pl.when(ch == 0)
+        def _init():
+            alo_ref[...] = jnp.zeros((bt, npad), _U32)
+            if nl == 2:
+                ahi_ref[...] = jnp.zeros((bt, npad), _U32)
+
+        def body(i_loc, carry):
+            for j in range(t):
+                dcol = dig_ref[0, 0, i_loc, j]           # [BT, 1] i32
+                rl = jnp.zeros((bt, npad), _U32)
+                rh = jnp.zeros((bt, npad), _U32) if nl == 2 else None
+                for v in range(base_m1):
+                    sel = dcol == jnp.int32(v + 1)
+                    tl = jnp.broadcast_to(tlo_ref[0, i_loc, j, v:v + 1, :],
+                                          (bt, npad))
+                    rl = jnp.where(sel, tl, rl)
+                    if nl == 2:
+                        th = jnp.broadcast_to(
+                            thi_ref[0, i_loc, j, v:v + 1, :], (bt, npad))
+                        rh = jnp.where(sel, th, rh)
+                alo = alo_ref[...]
+                s = alo + rl
+                alo_ref[...] = s
+                if nl == 2:
+                    cy = (s < alo).astype(_U32)
+                    ahi_ref[...] = ahi_ref[...] + rh + cy
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk_i), body,
+                          jnp.int32(0))
+
+        @pl.when(ch == n_chunks - 1)
+        def _emit():
+            out_ref[0, 0] = alo_ref[...]
+            if nl == 2:
+                out_ref[0, 1] = ahi_ref[...]
+
+    return kernel
+
+
+def tlwe_keyswitch_sum(dig, t_planes, bt: int = DEFAULT_BT,
+                       chunk_i: int = 16, interpret: bool = False):
+    """Sum of selected KS-table rows.
+
+    dig: [B, n_in, t] int32 digits in [0, base)
+    t_planes: tuple of nl u32 arrays [n_in, t, base-1, npad] (lo[, hi]),
+    npad a multiple of 128.
+    Returns [B, npad] torus (the subtrahend; caller computes (0,b) - out).
+    B must be a multiple of bt; n_in a multiple of chunk_i."""
+    from ..torus import TORUS_DTYPE
+    B, n_in, t = dig.shape
+    base_m1, npad = t_planes[0].shape[2], t_planes[0].shape[3]
+    nl = len(t_planes)
+    nb = B // bt
+    n_chunks = n_in // chunk_i
+    # digits tiled: [nb, n_chunks, chunk, t, BT, 1]
+    dg = dig.reshape(nb, bt, n_chunks, chunk_i, t) \
+            .transpose(0, 2, 3, 4, 1)[..., None]
+    tp = tuple(p.reshape(n_chunks, chunk_i, t, base_m1, npad)
+               for p in t_planes)
+    kernel = _make_tlwe_ks_kernel(chunk_i, t, base_m1, npad, bt, nl,
+                                  n_chunks)
+    t_spec = pl.BlockSpec(
+        (1, chunk_i, t, base_m1, npad),
+        lambda b, c: (c, b * 0, b * 0, b * 0, b * 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, bt, npad), _U32),
+        grid=(nb, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk_i, t, bt, 1),
+                         lambda b, c: (b, c, b * 0, b * 0, b * 0, b * 0),
+                         memory_space=pltpu.VMEM),
+        ] + [t_spec] * nl,
+        out_specs=pl.BlockSpec(
+            (1, nl, bt, npad),
+            lambda b, c: (b, c * 0, c * 0, c * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bt, npad), _U32)] * nl,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(dg, *tp)
+    # [nb, nl, BT, npad] -> [B, npad] torus
+    if nl == 1:
+        return out[:, 0].reshape(B, npad).astype(TORUS_DTYPE)
+    lo = out[:, 0].reshape(B, npad).astype(jnp.uint64)
+    hi = out[:, 1].reshape(B, npad).astype(jnp.uint64)
+    return lo | (hi << jnp.uint64(32))
+
+
+# ---------------------------------------------------------------------------
 # Automorphism keyswitch kernel (GA bootstrap, `bootstrap_ga.c:39-60`)
 #
 #   out = (0, b) - sum_{i<k, j<t} dec_j(a_i) (x) AK[gen][i*t+j]

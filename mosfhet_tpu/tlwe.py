@@ -235,12 +235,66 @@ def keyswitch_mxu(c: TLWE, ksk: TLWEKSKeyPrepared) -> TLWE:
     return TLWE(a=TORUS_DTYPE(0) - sa, b=c.b - sb)
 
 
-def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
+def _ks_kernel_eligible(ksk: "TLWEKSKey") -> bool:
+    import os
+    if os.environ.get("MOSFHET_TPU_FORCE_JNP"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def _keyswitch_pallas(c: TLWE, ksk: "TLWEKSKey", dig,
+                      interpret: bool = False) -> TLWE:
+    """Select-sum kernel route (`ops/pbs_kernel.tlwe_keyswitch_sum`):
+    bit-identical to the gather path."""
+    from .ops import pbs_kernel as _pk
+    t = ksk.t
+    n_in, n_out = ksk.a.shape[0], ksk.a.shape[-1]
+    base_m1 = ksk.a.shape[2]
+    batch = c.b.shape
+    B = 1
+    for d in batch:
+        B *= d
+    npad = -(-(n_out + 1) // 128) * 128
+    ab = jnp.concatenate([ksk.a, ksk.b[..., None]], axis=-1)
+    if npad > n_out + 1:
+        ab = jnp.concatenate(
+            [ab, jnp.zeros(ab.shape[:-1] + (npad - n_out - 1,), ab.dtype)],
+            axis=-1)
+    if TORUS_BITS == 32:
+        planes = (jnp.asarray(ab, jnp.uint32),)
+    else:
+        planes = ((ab & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                  (ab >> jnp.uint64(32)).astype(jnp.uint32))
+    # chunk the n_in streaming dim under the VMEM budget
+    budget = (48 << 20) // max(1, t * base_m1 * npad * 4 * len(planes))
+    chunk = 1
+    for cnd in range(min(n_in, max(1, budget)), 0, -1):
+        if n_in % cnd == 0:
+            chunk = cnd
+            break
+    dg = dig.reshape(B, n_in, t).astype(jnp.int32)
+    pad = (-B) % _pk.DEFAULT_BT
+    if pad:
+        dg = jnp.concatenate(
+            [dg, jnp.zeros((pad, n_in, t), jnp.int32)], axis=0)
+    sub = _pk.tlwe_keyswitch_sum(dg, planes, chunk_i=chunk,
+                                 interpret=interpret)
+    sub = (sub[:B] if pad else sub).reshape(batch + (npad,))
+    return TLWE(a=TORUS_DTYPE(0) - sub[..., :n_out],
+                b=c.b - sub[..., n_out])
+
+
+def keyswitch(c: TLWE, ksk: TLWEKSKey, impl: str = "auto") -> TLWE:
     """Digit-decompose each a_i and subtract table entries
     (`tlwe_keyswitch`, `tlwe.c:289-303`).  The reference's `if aij != 0`
     branch becomes a dense select (an exact skip, so masking with zero is
-    noise-free).  Runs as a scan over n_in chunks to bound the gather
-    intermediate."""
+    noise-free).  On TPU the select-sum runs as a fused kernel streaming
+    the table through VMEM; elsewhere a scan over n_in chunks bounds the
+    gather intermediate.  Both paths are bit-identical."""
     t, base_bit = ksk.t, ksk.base_bit
     n_in = ksk.a.shape[0]
     n_out = ksk.a.shape[-1]
@@ -253,6 +307,12 @@ def keyswitch(c: TLWE, ksk: TLWEKSKey) -> TLWE:
     )
     ai = c.a + prec_offset                                  # [..., n_in]
     dig = (ai[..., None] >> shifts) & mask                  # [..., n_in, t]
+
+    if impl == "auto":
+        impl = "pallas" if _ks_kernel_eligible(ksk) else "jnp"
+    if impl in ("pallas", "pallas_interpret"):
+        return _keyswitch_pallas(c, ksk, dig,
+                                 interpret=(impl == "pallas_interpret"))
 
     # bound the gathered temp [batch, chunk, t, n_out] to ~64 MB
     b_elems = 1

@@ -187,3 +187,18 @@ def test_seeded_lut_packing_ks_key():
     d = np.abs(ph.astype(np.float64) - want.astype(np.float64))
     err = np.minimum(d, 2.0**64 - d).max()
     assert err < 2.0**46, np.log2(err + 1)
+
+
+def test_tlwe_keyswitch_kernel_bit_identical():
+    """Select-sum kernel route == gather path, bit-exact (interpret),
+    incl. batch padding."""
+    kk = jax.random.split(jax.random.fold_in(KEY, 77), 4)
+    out_key = tlwe.new_binary_key(kk[0], 24, 0.0)
+    in_key = tlwe.new_binary_key(kk[1], 64, 0.0)
+    ksk = tlwe.new_ks_key(kk[2], out_key, in_key, 6, 4)
+    m = torus.double2torus(jnp.arange(5) / 16.0)     # batch 5: pad path
+    c = tlwe.encrypt(m, in_key, kk[3])
+    want = tlwe.keyswitch(c, ksk, impl="jnp")
+    got = tlwe.keyswitch(c, ksk, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
