@@ -67,18 +67,29 @@ def run_set(set_name):
                 f"({type(ex).__name__}) — dependent ops skipped")
             return None
 
-    ksk1 = try_key("packing1", lambda: jax.jit(
-        lambda r, ok, ik: ks.new_packing1_ks_key(
-            r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
-    kska = try_key("priv_sk", lambda: jax.jit(
-        lambda r, ok, ik: ks.new_priv_sk_ks_key(
-            r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
+    # small keys first: a failed multi-GiB allocation can leave the
+    # remote allocator unable to serve later (smaller) requests
     pair = try_key("priv_pair", lambda: jax.jit(
         lambda r, a, b: ks.new_priv_ks_key_pair(
             r, a, b, p.t, p.base_bit))(kk[8], key_trlwe, key_trlwe))
     tksk = try_key("tlwe_ks", lambda: jax.jit(
         lambda r, a, b: tlwe.new_ks_key(
             r, a, b, p.t, p.base_bit))(kk[9], key_tlwe, key_out))
+    # a failed multi-GiB allocation can poison the remote allocator, so
+    # don't even attempt tables that cannot fit
+    tab_bytes = (p.k * p.N) * p.t * ((1 << p.base_bit) - 1) \
+        * (p.k + 1) * p.N * 8
+    if tab_bytes > 6 << 30:
+        log(f"# {set_name}: packing1/priv_sk tables "
+            f"{tab_bytes/2**30:.1f} GiB > HBM — skipped")
+        ksk1 = kska = None
+    else:
+        ksk1 = try_key("packing1", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_packing1_ks_key(
+                r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
+        kska = try_key("priv_sk", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_priv_sk_ks_key(
+                r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
     log(f"# {set_name}: keys {time.time()-t0:.0f}s")
 
     rows = []
