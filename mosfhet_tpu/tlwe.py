@@ -269,8 +269,9 @@ def _keyswitch_pallas(c: TLWE, ksk: "TLWEKSKey", dig,
     else:
         planes = ((ab & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
                   (ab >> jnp.uint64(32)).astype(jnp.uint32))
-    # chunk the n_in streaming dim under the VMEM budget
-    budget = (48 << 20) // max(1, t * base_m1 * npad * 4 * len(planes))
+    # chunk the n_in streaming dim under the VMEM budget (Mosaic
+    # double-buffers each streamed input block, so stay well under half)
+    budget = (12 << 20) // max(1, t * base_m1 * npad * 4 * len(planes))
     chunk = 1
     for cnd in range(min(n_in, max(1, budget)), 0, -1):
         if n_in % cnd == 0:
