@@ -90,8 +90,12 @@ def main():
         "decrypt_ok": ok,
     }
 
+    # the headline row first — a slow/failed TORUS32 leg must never cost it
+    print(json.dumps(result), flush=True)
+
     # TORUS32 row (the reference's -DTORUS32 build): the width is fixed at
-    # import, so the 1-limb-kernel measurement runs as a subprocess
+    # import, so the 1-limb-kernel measurement runs as a subprocess; on
+    # success an enriched line is printed (consumers take the LAST line)
     if on_accel and os.environ.get("BENCH_TORUS32", "1") == "1":
         import subprocess
         env = dict(os.environ)
@@ -102,14 +106,13 @@ def main():
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "bench_torus32.py")],
-                env=env, capture_output=True, text=True, timeout=1500)
+                env=env, capture_output=True, text=True, timeout=2100)
             row = json.loads(r.stdout.strip().splitlines()[-1])
             result["torus32_boot_s"] = row["value"]
             result["torus32_decrypt_ok"] = row["decrypt_ok"]
+            print(json.dumps(result), flush=True)
         except Exception as e:  # never fail the headline metric
             print(f"# torus32 sub-bench failed: {e}", file=sys.stderr)
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
