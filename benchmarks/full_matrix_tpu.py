@@ -75,21 +75,26 @@ def run_set(set_name):
     tksk = try_key("tlwe_ks", lambda: jax.jit(
         lambda r, a, b: tlwe.new_ks_key(
             r, a, b, p.t, p.base_bit))(kk[9], key_tlwe, key_out))
-    # a failed multi-GiB allocation can poison the remote allocator, so
-    # don't even attempt tables that cannot fit
+    # packing1 / priv-SK tables reach 7.5-9.4 GiB at L2/SET_3: they fit
+    # one at a time but not together, so generate them STAGED around the
+    # ops that need them (circuit BS needs both at once — only possible
+    # with streamed compressed keys; reported as such when big)
     tab_bytes = (p.k * p.N) * p.t * ((1 << p.base_bit) - 1) \
         * (p.k + 1) * p.N * 8
-    if tab_bytes > 6 << 30:
+    big_keys = tab_bytes > 6 << 30
+    gen_ksk1 = lambda: try_key("packing1", lambda: jax.jit(
+        lambda r, ok, ik: ks.new_packing1_ks_key(
+            r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
+    gen_kska = lambda: try_key("priv_sk", lambda: jax.jit(
+        lambda r, ok, ik: ks.new_priv_sk_ks_key(
+            r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
+    if big_keys:
         log(f"# {set_name}: packing1/priv_sk tables "
-            f"{tab_bytes/2**30:.1f} GiB > HBM — skipped")
+            f"{tab_bytes/2**30:.1f} GiB each — staged one at a time")
         ksk1 = kska = None
     else:
-        ksk1 = try_key("packing1", lambda: jax.jit(
-            lambda r, ok, ik: ks.new_packing1_ks_key(
-                r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
-        kska = try_key("priv_sk", lambda: jax.jit(
-            lambda r, ok, ik: ks.new_priv_sk_ks_key(
-                r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
+        ksk1 = gen_ksk1()
+        kska = gen_kska()
     log(f"# {set_name}: keys {time.time()-t0:.0f}s")
 
     rows = []
@@ -117,6 +122,8 @@ def run_set(set_name):
                       jax.random.fold_in(KEY, 11))
     c2 = tlwe.encrypt(torus.int2torus(jnp.uint64(in2), 4), key_out,
                       jax.random.fold_in(KEY, 12))
+    if big_keys:
+        ksk1 = gen_ksk1()                 # stage A: the packing1-only ops
     if ksk1 is not None:
         om = jax.jit(lambda a, b, k1, k2: product.tlwe_mul(
             a, b, 4, k1, k2))(c1, c2, ksk1, rlk)
@@ -148,7 +155,11 @@ def run_set(set_name):
     def cb_fn(c, bk, kska, kskb, ctrl):
         g = bootstrap.circuit_bootstrap(c, bk, kska, kskb, p.l, p.Bg_bit)
         return trgsw.external_product(ctrl, trgsw.to_dft(g, gk.plan()))
-    if kska is not None and ksk1 is not None:
+    if big_keys:
+        report("circuit_bootstrap", False,
+               "needs packing1 + priv-SK together (>15 GiB) — requires "
+               "streamed compressed keys")
+    elif kska is not None and ksk1 is not None:
         out = jax.jit(cb_fn)(cb, bk, kska, ksk1, ctrl)
         e = _err(m0, trlwe.phase(out, key_trlwe))
         report("circuit_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
@@ -185,6 +196,10 @@ def run_set(set_name):
         report("fdfb_clot21", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
     else:
         report("fdfb_clot21", False, "packing1 key > HBM")
+    if big_keys and ksk1 is not None:
+        ksk1 = None                       # stage A done: free 7.5-9.4 GiB
+        import gc
+        gc.collect()
 
     # fdfb_this_work
     luts8b = rng.uniform_torus(jax.random.fold_in(KEY, 24), (8,))

@@ -42,6 +42,7 @@ def _registry():
         trgsw.TRGSW, trgsw.TRGSWDFT, trgsw.TRGSWKey, trgsw.TRGSWReg,
         keyswitch.TRLWEKSKey, keyswitch.GenericKSKey,
         keyswitch.LUTPackingKSKey, keyswitch.FullPackingKSKey,
+        keyswitch.SeededGenericKSKey, keyswitch.SeededLUTPackingKSKey,
         bootstrap.BootstrapKey, bootstrap_ga.GABootstrapKey,
         seeded.SeededTRLWE, seeded.MosfhetSeededTRLWE,
     ]

@@ -317,6 +317,101 @@ def new_priv_sk_ks_key(rkey, out_key: TRLWEKey, in_key: TLWEKey, t: int,
 
 
 @flax.struct.dataclass
+class SeededGenericKSKey:
+    """Compressed Generic_KS_Key (packing1 / priv-SK flavors): masks as
+    threefry seeds, key material on the stored b polynomials — halves the
+    7.5-9.4 GiB tables that otherwise exceed one chip's HBM at
+    TFHEPP_L2/SET_3 native parameters (the reference's
+    USE_COMPRESSED_TRLWE trick, `keyswitch.c:231-241`)."""
+    seeds: jax.Array   # [n(+b), t, base-1, 2] u32 key data
+    b: jax.Array       # [n(+b), t, base-1, N]
+    k: int = flax.struct.field(pytree_node=False)
+    t: int = flax.struct.field(pytree_node=False)
+    base_bit: int = flax.struct.field(pytree_node=False)
+    include_b: bool = flax.struct.field(pytree_node=False)
+
+
+def _seeded_zero_table(rkey, out_key: TRLWEKey, total: int):
+    """Seeded zero-encryptions for `total` table slots (chunked)."""
+    from . import seeded as _seeded
+    N = out_key.N
+    chunk = min(2048, total)
+    n_chunks = -(-total // chunk)
+    keys = jax.random.split(rkey, n_chunks)
+
+    def one(rk):
+        c = _seeded.encrypt(jnp.zeros((chunk, N), TORUS_DTYPE), out_key, rk)
+        return c.seed, c.b
+
+    seeds, bs = jax.lax.map(one, keys)
+    return (seeds.reshape(n_chunks * chunk, 2)[:total],
+            bs.reshape(n_chunks * chunk, N)[:total])
+
+
+def new_packing1_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
+                               t: int, base_bit: int) -> SeededGenericKSKey:
+    """Seeded `trlwe_new_packing1_KS_key` (`keyswitch.c:368-390`)."""
+    n = in_key.n
+    base_m1 = (1 << base_bit) - 1
+    seeds, b = _seeded_zero_table(rkey, out_key, n * t * base_m1)
+    shape = (n, t, base_m1)
+    seeds = seeds.reshape(shape + (2,))
+    b = b.reshape(shape + (out_key.N,))
+    dec = _dec_key_values(in_key.s, t, base_bit)         # [n, t, base-1]
+    b = b.at[..., 0].add(dec)
+    return SeededGenericKSKey(seeds=seeds, b=b, k=out_key.k, t=t,
+                              base_bit=base_bit, include_b=False)
+
+
+def new_priv_sk_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
+                              t: int, base_bit: int) -> SeededGenericKSKey:
+    """Seeded `trlwe_new_priv_SK_KS_key_N2` (`keyswitch.c:611-637`)."""
+    assert out_key.k == 1
+    n = in_key.n
+    base_m1 = (1 << base_bit) - 1
+    s_ext = jnp.concatenate([in_key.s, jnp.array([-1], jnp.int64)])
+    seeds, b = _seeded_zero_table(rkey, out_key, (n + 1) * t * base_m1)
+    shape = (n + 1, t, base_m1)
+    seeds = seeds.reshape(shape + (2,))
+    b = b.reshape(shape + (out_key.N,))
+    dec = _dec_key_values(s_ext, t, base_bit)            # [n+1, t, base-1]
+    minus_s = (TORUS_DTYPE(0) - out_key.s[0].astype(TORUS_DTYPE))
+    b = b + dec[..., None] * minus_s
+    return SeededGenericKSKey(seeds=seeds, b=b, k=out_key.k, t=t,
+                              base_bit=base_bit, include_b=True)
+
+
+def expand_generic_ks_key(sk: SeededGenericKSKey) -> GenericKSKey:
+    """Regenerate the masks and assemble the dense table (chunked)."""
+    from . import seeded as _seeded
+    N = sk.b.shape[-1]
+    shape = sk.b.shape[:-1]
+    total = 1
+    for d in shape:
+        total *= d
+    seeds = sk.seeds.reshape(total, 2)
+    bs = sk.b.reshape(total, N)
+    chunk = min(2048, total)
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    if pad:
+        seeds = jnp.concatenate([seeds, seeds[:pad]], axis=0)
+        bs = jnp.concatenate([bs, bs[:pad]], axis=0)
+
+    def one(args):
+        sd, b = args
+        a = _seeded._expand_a(sd, sk.k, N)
+        return jnp.concatenate([a, b[:, None, :]], axis=1)
+
+    tab = jax.lax.map(one, (seeds.reshape(n_chunks, chunk, 2),
+                            bs.reshape(n_chunks, chunk, N)))
+    tab = tab.reshape(n_chunks * chunk, sk.k + 1, N)[:total]
+    return GenericKSKey(table=tab.reshape(shape + (sk.k + 1, N)),
+                        t=sk.t, base_bit=sk.base_bit,
+                        include_b=sk.include_b)
+
+
+@flax.struct.dataclass
 class SeededLUTPackingKSKey:
     """Compressed LUT-packing key: the uniform mask `a` of every table
     TRLWE is stored as a threefry seed and regenerated on expansion —

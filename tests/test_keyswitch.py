@@ -202,3 +202,36 @@ def test_tlwe_keyswitch_kernel_bit_identical():
     got = tlwe.keyswitch(c, ksk, impl="pallas_interpret")
     np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
     np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+
+
+def test_seeded_generic_ks_keys():
+    """Seeded packing1/priv-SK keys expand to working dense keys at half
+    the footprint (the >HBM mitigation for L2/SET_3 native tables)."""
+    P = params.TOY
+    kk = jax.random.split(jax.random.fold_in(KEY, 88), 6)
+    kr = trlwe.new_binary_key(kk[0], P.N, P.k, 0.0)
+    kt = trlwe.extract_tlwe_key(kr)
+    sk1 = ks.new_packing1_ks_key_seeded(kk[1], kr, kt, P.t, P.base_bit)
+    pk1 = ks.expand_generic_ks_key(sk1)
+    m = torus.double2torus(3 / 16.0)
+    c = tlwe.encrypt(m, kt, kk[2])
+    out = ks.packing1_keyswitch(c, pk1)
+    ph = np.asarray(trlwe.phase(out, kr), np.uint64)
+    e0 = abs(np.int64(ph[0] - np.uint64(m)).astype(np.float64))
+    assert e0 <= 2.0**48, f"packing1 err 2^{np.log2(e0+1):.1f}"
+    # priv-SK flavor: TLWE(M) -> TRLWE(m * -s)
+    sk2 = ks.new_priv_sk_ks_key_seeded(kk[3], kr, kt, P.t, P.base_bit)
+    pk2 = ks.expand_generic_ks_key(sk2)
+    assert pk2.include_b
+    c2 = tlwe.encrypt(m, kt, kk[4])
+    out2 = ks.priv_keyswitch(c2, pk2)
+    want = (jnp.uint64(0)
+            - polynomial.ntt_mul_small(
+                jnp.asarray(kr.s[0], jnp.int32),
+                jnp.zeros((P.N,), jnp.uint64).at[0].set(m), kr.plan()))
+    e = np.abs((np.asarray(trlwe.phase(out2, kr), np.uint64) -
+                np.asarray(want, np.uint64)).view(np.int64)
+               .astype(np.float64)).max()
+    assert e <= 2.0**50, f"priv-SK err 2^{np.log2(e+1):.1f}"
+    # footprint: seeded = (1 + 1/(k+1))... b-only vs full table
+    assert sk1.b.nbytes * (P.k + 1) == pk1.table.nbytes
