@@ -89,8 +89,12 @@ def run_set(set_name):
         lambda r, ok, ik: ks.new_priv_sk_ks_key(
             r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
     if big_keys:
+        # even one such table OOMs during keygen (the build transient is
+        # ~2x the table); the compressed SeededGenericKSKey halves the
+        # stored form, but using it at these sizes needs chunk-streamed
+        # expansion inside the gather (ROADMAP) — report honestly
         log(f"# {set_name}: packing1/priv_sk tables "
-            f"{tab_bytes/2**30:.1f} GiB each — staged one at a time")
+            f"{tab_bytes/2**30:.1f} GiB — exceed one chip's HBM")
         ksk1 = kska = None
     else:
         ksk1 = gen_ksk1()
@@ -122,8 +126,6 @@ def run_set(set_name):
                       jax.random.fold_in(KEY, 11))
     c2 = tlwe.encrypt(torus.int2torus(jnp.uint64(in2), 4), key_out,
                       jax.random.fold_in(KEY, 12))
-    if big_keys:
-        ksk1 = gen_ksk1()                 # stage A: the packing1-only ops
     if ksk1 is not None:
         om = jax.jit(lambda a, b, k1, k2: product.tlwe_mul(
             a, b, 4, k1, k2))(c1, c2, ksk1, rlk)
@@ -196,10 +198,6 @@ def run_set(set_name):
         report("fdfb_clot21", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
     else:
         report("fdfb_clot21", False, "packing1 key > HBM")
-    if big_keys and ksk1 is not None:
-        ksk1 = None                       # stage A done: free 7.5-9.4 GiB
-        import gc
-        gc.collect()
 
     # fdfb_this_work
     luts8b = rng.uniform_torus(jax.random.fold_in(KEY, 24), (8,))
