@@ -20,7 +20,42 @@ import jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 
 
+def _run_torus32_leg():
+    """Run the TORUS32 sub-bench as a subprocess BEFORE this process creates
+    its own TPU client (the axon tunnel serves one client at a time — round 2
+    ran it after, and the child hung with empty stdout).  Returns the child's
+    JSON row or None; failures carry the child's stderr tail."""
+    import subprocess
+    env = dict(os.environ)
+    env["MOSFHET_TORUS_BITS"] = "32"
+    env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
+    try:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "bench_torus32.py")],
+            env=env, capture_output=True, text=True, timeout=2100)
+        lines = r.stdout.strip().splitlines()
+        if not lines:
+            raise RuntimeError(
+                f"empty stdout (exit {r.returncode}); "
+                f"stderr tail: {r.stderr.strip()[-400:]}")
+        row = json.loads(lines[-1])
+        if row.get("skipped"):
+            print(f"# torus32 sub-bench skipped: {row['skipped']}",
+                  file=sys.stderr)
+            return None
+        return row
+    except Exception as e:  # never fail the headline metric
+        print(f"# torus32 sub-bench failed: {e}", file=sys.stderr)
+        return None
+
+
 def main():
+    torus32_row = None
+    if os.environ.get("BENCH_TORUS32", "1") == "1":
+        torus32_row = _run_torus32_leg()
+
     from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
 
     p = params.TFHEPP_L2
@@ -90,29 +125,12 @@ def main():
         "decrypt_ok": ok,
     }
 
-    # the headline row first — a slow/failed TORUS32 leg must never cost it
+    # TORUS32 row (the reference's -DTORUS32 build, measured as a
+    # subprocess before this client attached to the device)
+    if torus32_row is not None:
+        result["torus32_boot_s"] = torus32_row["value"]
+        result["torus32_decrypt_ok"] = torus32_row["decrypt_ok"]
     print(json.dumps(result), flush=True)
-
-    # TORUS32 row (the reference's -DTORUS32 build): the width is fixed at
-    # import, so the 1-limb-kernel measurement runs as a subprocess; on
-    # success an enriched line is printed (consumers take the LAST line)
-    if on_accel and os.environ.get("BENCH_TORUS32", "1") == "1":
-        import subprocess
-        env = dict(os.environ)
-        env["MOSFHET_TORUS_BITS"] = "32"
-        env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
-        try:
-            r = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "benchmarks", "bench_torus32.py")],
-                env=env, capture_output=True, text=True, timeout=2100)
-            row = json.loads(r.stdout.strip().splitlines()[-1])
-            result["torus32_boot_s"] = row["value"]
-            result["torus32_decrypt_ok"] = row["decrypt_ok"]
-            print(json.dumps(result), flush=True)
-        except Exception as e:  # never fail the headline metric
-            print(f"# torus32 sub-bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,10 +1,16 @@
 """TORUS32 PBS throughput on TPU (single-limb kernel, 2 primes)."""
-import time, sys, math
+import json, time, sys, math
 import jax
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 # run with PYTHONPATH=/root/repo MOSFHET_TORUS_BITS=32
+
+if jax.devices()[0].platform not in ("tpu", "axon", "gpu"):
+    print(json.dumps({"metric": "pbs_throughput_L2_torus32",
+                      "skipped": f"no accelerator "
+                                 f"({jax.devices()[0].platform})"}))
+    sys.exit(0)
 
 from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, rng, torus
 assert torus.TORUS_BITS == 32

@@ -89,13 +89,19 @@ def run_set(set_name):
         lambda r, ok, ik: ks.new_priv_sk_ks_key(
             r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
     if big_keys:
-        # even one such table OOMs during keygen (the build transient is
-        # ~2x the table); the compressed SeededGenericKSKey halves the
-        # stored form, but using it at these sizes needs chunk-streamed
-        # expansion inside the gather (ROADMAP) — report honestly
-        log(f"# {set_name}: packing1/priv_sk tables "
-            f"{tab_bytes/2**30:.1f} GiB — exceed one chip's HBM")
-        ksk1 = kska = None
+        # dense tables exceed one chip's HBM; the seeded keys store only
+        # (seed, b) at half the size and the apply expands the selected
+        # entries on the fly (`keyswitch._gather_subtract_streamed`, the
+        # reference's USE_COMPRESSED_TRLWE mechanism)
+        log(f"# {set_name}: packing1/priv_sk dense tables "
+            f"{tab_bytes/2**30:.1f} GiB > HBM — seeded keys with "
+            f"streamed (expand-on-select) apply")
+        ksk1 = try_key("packing1_seeded", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_packing1_ks_key_seeded(
+                r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
+        kska = try_key("priv_sk_seeded", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_priv_sk_ks_key_seeded(
+                r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
     else:
         ksk1 = gen_ksk1()
         kska = gen_kska()
@@ -157,11 +163,7 @@ def run_set(set_name):
     def cb_fn(c, bk, kska, kskb, ctrl):
         g = bootstrap.circuit_bootstrap(c, bk, kska, kskb, p.l, p.Bg_bit)
         return trgsw.external_product(ctrl, trgsw.to_dft(g, gk.plan()))
-    if big_keys:
-        report("circuit_bootstrap", False,
-               "needs packing1 + priv-SK together (>15 GiB) — requires "
-               "streamed compressed keys")
-    elif kska is not None and ksk1 is not None:
+    if kska is not None and ksk1 is not None:
         out = jax.jit(cb_fn)(cb, bk, kska, ksk1, ctrl)
         e = _err(m0, trlwe.phase(out, key_trlwe))
         report("circuit_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")

@@ -364,34 +364,49 @@ def multivalue_bootstrap_phase1(c: TLWE, bk: BootstrapKey,
     return out
 
 
+def _phase2_weights(lut_values, torus_base: int, log_torus_base: int):
+    """Per-bit-plane rotation weights of the phase-2 composition
+    (`bootstrap.c:245-265`): returns [(j, i, w)] with w in {-1, +1}
+    (w0 == 2 maps to weight 1 on rotated[torus_base] = r0*X^tb + r0)."""
+    terms = []
+    for j in range(log_torus_base):
+        w0 = ((lut_values[0] >> j) & 1) + \
+            ((lut_values[torus_base - 1] >> j) & 1)
+        if w0 == 2:
+            terms.append((j, torus_base, 1))
+        elif w0 != 0:
+            terms.append((j, 0, w0))
+        for i in range(1, torus_base):
+            wi = ((lut_values[i] >> j) & 1) - ((lut_values[i - 1] >> j) & 1)
+            if wi != 0:
+                terms.append((j, i, wi))
+    return terms
+
+
 def multivalue_bootstrap_phase2(lut_values, rotated: list[TRLWE],
                                 torus_base: int, log_torus_base: int) -> TLWE:
     """Compose a LUT from phase-1 rotations by bit-plane
     (`multivalue_bootstrap_phase2`, `bootstrap.c:245-265`).
-    lut_values: Python ints (cleartext LUT)."""
+    lut_values: Python ints (cleartext LUT).
+
+    Extraction-first reordering (exact: extraction and negation are linear
+    in wraparound u64): out = sum_{j,i} w[j,i] * E_j(rotated[i]) instead of
+    E_j(sum_i w[j,i] rotated[i]).  The E_j(rotated[i]) extractions are
+    LUT-independent, so when many LUTs are composed in one jitted program
+    XLA CSEs the (log_tb x (tb+1)) gathers and each extra LUT costs only a
+    few [*, k*N] adds — this is what brings the per-LUT compose under the
+    reference's 7 us (it re-extracts per LUT; we cannot share in its
+    order either)."""
     from . import tlwe as _tlwe
-    N, k = rotated[0].N, rotated[0].k
-    n_out = N * k
-    out = _tlwe.noiseless_trivial(TORUS_DTYPE(0), n_out)
-    for j in range(log_torus_base):
-        w0 = ((lut_values[0] >> j) & 1) + ((lut_values[torus_base - 1] >> j) & 1)
-        if w0 == 2:
-            tmp = rotated[torus_base]
-        elif w0 == 1:
-            tmp = rotated[0]
-        elif w0 == -1:
-            tmp = _trlwe.neg(rotated[0])
-        else:
-            tmp = _trlwe.noiseless_trivial(
-                jnp.zeros((N,), TORUS_DTYPE), k, N)
-        for i in range(1, torus_base):
-            wi = ((lut_values[i] >> j) & 1) - ((lut_values[i - 1] >> j) & 1)
-            if wi == 1:
-                tmp = _trlwe.add(tmp, rotated[i])
-            elif wi == -1:
-                tmp = _trlwe.sub(tmp, rotated[i])
-        ext = _trlwe.mv_extract_tlwe_scaling_delta(tmp, 1 << j)
-        out = _tlwe.add(out, ext)
+    out = None
+    for j, i, w in _phase2_weights(lut_values, torus_base, log_torus_base):
+        e = _trlwe.mv_extract_tlwe_scaling_delta(rotated[i], 1 << j)
+        t = _tlwe.neg(e) if w < 0 else e
+        out = t if out is None else _tlwe.add(out, t)
+    if out is None:
+        n_out = rotated[0].N * rotated[0].k
+        out = _tlwe.noiseless_trivial(
+            jnp.zeros(rotated[0].b.shape[:-1], TORUS_DTYPE), n_out)
     return out
 
 
@@ -404,36 +419,41 @@ def multivalue_bootstrap_phase2_many(lut_tables, rotated: list[TRLWE],
 
     lut_tables: [K, torus_base] Python ints.  Returns TLWE with a leading
     K axis (before the phase-1 batch dims).  Same math as K calls of
-    `multivalue_bootstrap_phase2` (`bootstrap.c:245-265`)."""
+    `multivalue_bootstrap_phase2` (`bootstrap.c:245-265`).
+
+    Extraction-first (see `multivalue_bootstrap_phase2`): the
+    log_tb x (tb+1) extractions are computed once and every LUT is a
+    {-1,0,1}-weighted sum of them — O(K) cheap adds instead of O(K)
+    full-polynomial gathers."""
     from . import tlwe as _tlwe
     import numpy as np
     K = len(lut_tables)
     tb = torus_base
-    # weights per bit-plane j and rotation index i in {-1, 0, 1, 2}
+    # weights per bit-plane j, LUT, and rotation index — in {-1, 0, 1}
+    # after folding w0 == 2 onto rotated[tb]
     w = np.zeros((log_torus_base, K, tb + 1), np.int64)
+    for ki, lv in enumerate(lut_tables):
+        for j, i, wi in _phase2_weights(lv, tb, log_torus_base):
+            w[j, ki, i] = wi
+    out_a = out_b = None
     for j in range(log_torus_base):
-        for ki, lv in enumerate(lut_tables):
-            w0 = ((lv[0] >> j) & 1) + ((lv[tb - 1] >> j) & 1)
-            if w0 == 2:
-                w[j, ki, tb] = 1
-            else:
-                w[j, ki, 0] += w0
-            for i in range(1, tb):
-                w[j, ki, i] += ((lv[i] >> j) & 1) - ((lv[i - 1] >> j) & 1)
-    st = jnp.stack([r.stacked() for r in rotated])       # [tb+1, ..., C, N]
-    N, k = rotated[0].N, rotated[0].k
-    out = None
-    for j in range(log_torus_base):
-        # tmp[K] = sum_i w[K, i] * rotated[i]; weights in {-1,0,1,2} as
-        # wrapping torus scalars (XLA has no u64 dot — explicit sum)
-        wj = jnp.asarray(w[j], np.int64).astype(TORUS_DTYPE)   # [K, tb+1]
-        wshape = (K,) + (1,) * (st.ndim - 1)
-        tmp = sum(wj[:, i].reshape(wshape) * st[i][None]
-                  for i in range(tb + 1))
-        ext = _trlwe.mv_extract_tlwe_scaling_delta(
-            from_stacked(tmp), 1 << j)
-        out = ext if out is None else _tlwe.add(out, ext)
-    return out
+        for i in range(tb + 1):
+            if not np.any(w[j, :, i]):
+                continue
+            e = _trlwe.mv_extract_tlwe_scaling_delta(rotated[i], 1 << j)
+            wj = jnp.asarray(w[j, :, i], np.int64).astype(TORUS_DTYPE)
+            sa = wj.reshape((K,) + (1,) * e.a.ndim)      # [K, ...1]
+            sb = wj.reshape((K,) + (1,) * e.b.ndim)
+            ta = sa * e.a[None]
+            tbv = sb * e.b[None]
+            out_a = ta if out_a is None else out_a + ta
+            out_b = tbv if out_b is None else out_b + tbv
+    if out_a is None:
+        n_out = rotated[0].N * rotated[0].k
+        z = _tlwe.noiseless_trivial(
+            jnp.zeros((K,) + rotated[0].b.shape[:-1], TORUS_DTYPE), n_out)
+        return z
+    return _tlwe.TLWE(a=out_a, b=out_b)
 
 
 # --- UBR multi-value (`bootstrap.c:151-190`) -----------------------------------

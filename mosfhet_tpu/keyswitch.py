@@ -331,19 +331,40 @@ class SeededGenericKSKey:
     include_b: bool = flax.struct.field(pytree_node=False)
 
 
-def _seeded_zero_table(rkey, out_key: TRLWEKey, total: int):
-    """Seeded zero-encryptions for `total` table slots (chunked)."""
+def _seeded_zero_table(rkey, out_key: TRLWEKey, total: int, add_fn=None):
+    """Seeded zero-encryptions for `total` table slots (chunked).
+
+    `add_fn(flat_idx [chunk] i32) -> [chunk, N]` adds the key material to
+    each chunk's b polynomials INSIDE the chunked map, so the keygen
+    transient never exceeds the seeded key itself (the dense-table keygens
+    have a ~2x transient that OOMs at TFHEPP_L2/SET_3 native sizes).  The
+    chunk is chosen as a divisor of `total` when possible so the final
+    table needs no trimming copy."""
     from . import seeded as _seeded
     N = out_key.N
     chunk = min(2048, total)
+    for c in range(chunk, 0, -1):
+        if total % c == 0:
+            chunk = c
+            break
+        if chunk - c > 1792:      # no usable divisor: pad + trim instead
+            break
     n_chunks = -(-total // chunk)
     keys = jax.random.split(rkey, n_chunks)
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    zeros = jnp.zeros((chunk, N), TORUS_DTYPE)
 
-    def one(rk):
-        c = _seeded.encrypt(jnp.zeros((chunk, N), TORUS_DTYPE), out_key, rk)
-        return c.seed, c.b
+    def one(args):
+        rk, start = args
+        c = _seeded.encrypt(zeros, out_key, rk)
+        bb = c.b
+        if add_fn is not None:
+            idx = jnp.minimum(start + jnp.arange(chunk, dtype=jnp.int32),
+                              total - 1)
+            bb = bb + add_fn(idx)
+        return c.seed, bb
 
-    seeds, bs = jax.lax.map(one, keys)
+    seeds, bs = jax.lax.map(one, (keys, starts))
     return (seeds.reshape(n_chunks * chunk, 2)[:total],
             bs.reshape(n_chunks * chunk, N)[:total])
 
@@ -353,13 +374,17 @@ def new_packing1_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
     """Seeded `trlwe_new_packing1_KS_key` (`keyswitch.c:368-390`)."""
     n = in_key.n
     base_m1 = (1 << base_bit) - 1
-    seeds, b = _seeded_zero_table(rkey, out_key, n * t * base_m1)
+    dec_flat = _dec_key_values(in_key.s, t, base_bit).reshape(-1)
+
+    def add_fn(idx):      # key value lands on coefficient 0 only
+        out = jnp.zeros((idx.shape[0], out_key.N), TORUS_DTYPE)
+        return out.at[:, 0].set(dec_flat[idx])
+
+    seeds, b = _seeded_zero_table(rkey, out_key, n * t * base_m1, add_fn)
     shape = (n, t, base_m1)
-    seeds = seeds.reshape(shape + (2,))
-    b = b.reshape(shape + (out_key.N,))
-    dec = _dec_key_values(in_key.s, t, base_bit)         # [n, t, base-1]
-    b = b.at[..., 0].add(dec)
-    return SeededGenericKSKey(seeds=seeds, b=b, k=out_key.k, t=t,
+    return SeededGenericKSKey(seeds=seeds.reshape(shape + (2,)),
+                              b=b.reshape(shape + (out_key.N,)),
+                              k=out_key.k, t=t,
                               base_bit=base_bit, include_b=False)
 
 
@@ -370,14 +395,18 @@ def new_priv_sk_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
     n = in_key.n
     base_m1 = (1 << base_bit) - 1
     s_ext = jnp.concatenate([in_key.s, jnp.array([-1], jnp.int64)])
-    seeds, b = _seeded_zero_table(rkey, out_key, (n + 1) * t * base_m1)
-    shape = (n + 1, t, base_m1)
-    seeds = seeds.reshape(shape + (2,))
-    b = b.reshape(shape + (out_key.N,))
-    dec = _dec_key_values(s_ext, t, base_bit)            # [n+1, t, base-1]
+    dec_flat = _dec_key_values(s_ext, t, base_bit).reshape(-1)
     minus_s = (TORUS_DTYPE(0) - out_key.s[0].astype(TORUS_DTYPE))
-    b = b + dec[..., None] * minus_s
-    return SeededGenericKSKey(seeds=seeds, b=b, k=out_key.k, t=t,
+
+    def add_fn(idx):
+        return dec_flat[idx][:, None] * minus_s[None, :]
+
+    seeds, b = _seeded_zero_table(rkey, out_key, (n + 1) * t * base_m1,
+                                  add_fn)
+    shape = (n + 1, t, base_m1)
+    return SeededGenericKSKey(seeds=seeds.reshape(shape + (2,)),
+                              b=b.reshape(shape + (out_key.N,)),
+                              k=out_key.k, t=t,
                               base_bit=base_bit, include_b=True)
 
 
@@ -429,34 +458,28 @@ class SeededLUTPackingKSKey:
 def new_lut_packing_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
                                   t: int, base_bit: int,
                                   torus_base: int) -> SeededLUTPackingKSKey:
-    """Seeded variant of `new_lut_packing_ks_key` (chunked like the dense
-    keygen)."""
-    from . import seeded as _seeded
+    """Seeded variant of `new_lut_packing_ks_key`; key material (the
+    slot-replicated decomposed key values) is added inside the chunked
+    keygen map so the transient stays at the seeded key's own size."""
     N, k, n = out_key.N, out_key.k, in_key.n
     base_m1 = (1 << base_bit) - 1
     total = n * torus_base * t * base_m1
-    chunk = 2048
-    n_chunks = -(-total // chunk)
-    keys = jax.random.split(rkey, n_chunks)
-
-    def one(rk):
-        c = _seeded.encrypt(jnp.zeros((chunk, N), TORUS_DTYPE), out_key, rk)
-        return c.seed, c.b
-
-    seeds, bs = jax.lax.map(one, keys)
-    seeds = seeds.reshape(n_chunks * chunk, 2)[:total]
-    bs = bs.reshape(n_chunks * chunk, N)[:total]
-    shape = (n, torus_base, t, base_m1)
-    seeds = seeds.reshape(shape + (2,))
-    b = bs.reshape(shape + (N,))
-    # key material lands on b (slot-replicated decomposed key values)
-    dec = _dec_key_values(in_key.s, t, base_bit)         # [n, t, base-1]
+    dec_flat = _dec_key_values(in_key.s, t, base_bit).reshape(-1)  # (i,j,v)
     slot = N // torus_base
     e_of_coeff = jnp.arange(N) // slot
     mask = (e_of_coeff[None, :] ==
-            jnp.arange(torus_base)[:, None]).astype(TORUS_DTYPE)
-    b = b + dec[:, None, :, :, None] * mask[None, :, None, None, :]
-    return SeededLUTPackingKSKey(seeds=seeds, b=b, k=k, t=t,
+            jnp.arange(torus_base)[:, None]).astype(TORUS_DTYPE)   # [tb, N]
+
+    def add_fn(idx):      # table layout (i, e, j, v) row-major
+        i = idx // (torus_base * t * base_m1)
+        e = (idx // (t * base_m1)) % torus_base
+        jv = idx % (t * base_m1)
+        return dec_flat[(i * t * base_m1 + jv)][:, None] * mask[e]
+
+    seeds, bs = _seeded_zero_table(rkey, out_key, total, add_fn)
+    shape = (n, torus_base, t, base_m1)
+    return SeededLUTPackingKSKey(seeds=seeds.reshape(shape + (2,)),
+                                 b=bs.reshape(shape + (N,)), k=k, t=t,
                                  base_bit=base_bit, torus_base=torus_base)
 
 
@@ -556,32 +579,108 @@ def _gather_subtract(table, a_vals, t: int, base_bit: int):
     return acc
 
 
-def packing1_keyswitch(c: TLWE, ksk: GenericKSKey) -> TRLWE:
-    """(`trlwe_packing1_keyswitch`, `keyswitch.c:458-475`)."""
-    sub = _gather_subtract(ksk.table, c.a, ksk.t, ksk.base_bit)
+def _gather_subtract_streamed(seeds, b, k: int, a_vals, t: int,
+                              base_bit: int):
+    """Streamed (expand-on-select) `_gather_subtract` for seeded tables.
+
+    The dense table never materializes: the digits of a_vals select one
+    entry per (row, digit); only the 8-byte *seeds* of the selected entries
+    are gathered, their masks expanded on the fly, and the stored b
+    polynomials gathered alongside — the reference's USE_COMPRESSED_TRLWE
+    apply does exactly this inside its subtract loop
+    (`keyswitch.c:231-241,343-364`).  This is what lets packing1/priv-SK/
+    LUT-packing switches run at TFHEPP_L2/SET_3 native sizes on one chip.
+
+    seeds: [R, t, base-1, 2] u32; b: [R, t, base-1, N]; a_vals: [..., R].
+    Returns [..., k+1, N]."""
+    from . import seeded as _seeded
+    R, _, base_m1, N = b.shape
+    prec_offset = TORUS_DTYPE(1 << (TORUS_BITS - (1 + base_bit * t)))
+    dmask = TORUS_DTYPE((1 << base_bit) - 1)
+    shifts = jnp.array([TORUS_BITS - (j + 1) * base_bit for j in range(t)],
+                       dtype=TORUS_DTYPE)
+    dig = ((a_vals + prec_offset)[..., None] >> shifts) & dmask  # [..., R, t]
+
+    flat_seeds = seeds.reshape(R * t * base_m1, 2)
+    flat_b = b.reshape(R * t * base_m1, N)
+    # bound the selected temp [batch, chunk, t, k+1, N] to ~64 MB
+    b_elems = 1
+    for d in a_vals.shape[:-1]:
+        b_elems *= d
+    row_bytes = t * (k + 1) * N * 8
+    budget = min(R, max(1, (64 << 20) // max(1, b_elems * row_bytes)))
+    chunk = 1
+    for c in range(budget, 0, -1):
+        if R % c == 0:
+            chunk = c
+            break
+    n_chunks = R // chunk
+    dig_s = jnp.moveaxis(
+        dig.reshape(dig.shape[:-2] + (n_chunks, chunk, t)), -3, 0)
+    seeds_s = flat_seeds.reshape(n_chunks, chunk * t * base_m1, 2)
+    b_s = flat_b.reshape(n_chunks, chunk * t * base_m1, N)
+    # chunk-local flat position of entry (row, digit, 0)
+    pos = (jnp.arange(chunk)[:, None] * t + jnp.arange(t)[None, :]) * base_m1
+
+    def body(acc, xs):
+        d, sd_tab, b_tab = xs
+        nz = d != 0
+        flat = pos + jnp.maximum(d.astype(jnp.int32) - 1, 0)
+        sd = jnp.take(sd_tab, flat, axis=0)     # [..., chunk, t, 2]
+        bb = jnp.take(b_tab, flat, axis=0)      # [..., chunk, t, N]
+        a = _seeded._expand_a(sd, k, N)         # [..., chunk, t, k, N]
+        g = jnp.concatenate([a, bb[..., None, :]], axis=-2)
+        g = jnp.where(nz[..., None, None], g, TORUS_DTYPE(0))
+        return acc + jnp.sum(g, axis=(-4, -3), dtype=TORUS_DTYPE), None
+
+    init = jnp.zeros(a_vals.shape[:-1] + (k + 1, N), TORUS_DTYPE)
+    acc, _ = jax.lax.scan(body, init, (dig_s, seeds_s, b_s))
+    return acc
+
+
+def packing1_keyswitch(c: TLWE, ksk) -> TRLWE:
+    """(`trlwe_packing1_keyswitch`, `keyswitch.c:458-475`).  Accepts a dense
+    GenericKSKey or a SeededGenericKSKey (streamed, table never dense)."""
+    if isinstance(ksk, SeededGenericKSKey):
+        sub = _gather_subtract_streamed(ksk.seeds, ksk.b, ksk.k, c.a,
+                                        ksk.t, ksk.base_bit)
+    else:
+        sub = _gather_subtract(ksk.table, c.a, ksk.t, ksk.base_bit)
     out = from_stacked(TORUS_DTYPE(0) - sub)
     b = out.b.at[..., 0].add(c.b)
     return TRLWE(a=out.a, b=b)
 
 
-def priv_keyswitch(c: TLWE, ksk: GenericKSKey) -> TRLWE:
-    """(`trlwe_priv_keyswitch`, `keyswitch.c:639-656`), includes b row."""
+def priv_keyswitch(c: TLWE, ksk) -> TRLWE:
+    """(`trlwe_priv_keyswitch`, `keyswitch.c:639-656`), includes b row.
+    Accepts dense or seeded (streamed) keys."""
     assert ksk.include_b
     av = jnp.concatenate([c.a, c.b[..., None]], axis=-1)
-    sub = _gather_subtract(ksk.table, av, ksk.t, ksk.base_bit)
+    if isinstance(ksk, SeededGenericKSKey):
+        sub = _gather_subtract_streamed(ksk.seeds, ksk.b, ksk.k, av,
+                                        ksk.t, ksk.base_bit)
+    else:
+        sub = _gather_subtract(ksk.table, av, ksk.t, ksk.base_bit)
     return from_stacked(TORUS_DTYPE(0) - sub)
 
 
-def lut_packing_keyswitch(cs: TLWE, ksk: LUTPackingKSKey) -> TRLWE:
+def lut_packing_keyswitch(cs: TLWE, ksk) -> TRLWE:
     """Pack torus_base TLWEs (leading axis of cs) into LUT slots
-    (`trlwe_packing_keyswitch`, `keyswitch.c:343-364`)."""
+    (`trlwe_packing_keyswitch`, `keyswitch.c:343-364`).  Accepts a dense
+    LUTPackingKSKey or a SeededLUTPackingKSKey (streamed)."""
     tb = ksk.torus_base
     n = cs.a.shape[-1]
-    # reshape table [n, tb, t, base-1, ...] -> rows (i, e)
-    table = ksk.table.reshape((-1,) + ksk.table.shape[2:])
     # a_vals[(i, e)] = cs.a[e, i] — note e-major per i
     a_vals = jnp.swapaxes(cs.a, -1, -2).reshape(cs.a.shape[:-2] + (n * tb,))
-    sub = _gather_subtract(table, a_vals, ksk.t, ksk.base_bit)
+    if isinstance(ksk, SeededLUTPackingKSKey):
+        seeds = ksk.seeds.reshape((-1,) + ksk.seeds.shape[2:])
+        b_tab = ksk.b.reshape((-1,) + ksk.b.shape[2:])
+        sub = _gather_subtract_streamed(seeds, b_tab, ksk.k, a_vals,
+                                        ksk.t, ksk.base_bit)
+    else:
+        # reshape table [n, tb, t, base-1, ...] -> rows (i, e)
+        table = ksk.table.reshape((-1,) + ksk.table.shape[2:])
+        sub = _gather_subtract(table, a_vals, ksk.t, ksk.base_bit)
     out = from_stacked(TORUS_DTYPE(0) - sub)
     N = out.N
     slot = N // tb

@@ -235,3 +235,44 @@ def test_seeded_generic_ks_keys():
     assert e <= 2.0**50, f"priv-SK err 2^{np.log2(e+1):.1f}"
     # footprint: seeded = (1 + 1/(k+1))... b-only vs full table
     assert sk1.b.nbytes * (P.k + 1) == pk1.table.nbytes
+
+
+def test_streamed_seeded_gather_bit_identical():
+    """Streamed (expand-on-select) apply of seeded packing1/priv-SK/LUT
+    packing keys is bit-identical to expanding the table densely first —
+    the HBM-relief path for TFHEPP_L2/SET_3 native parameters."""
+    kk = jax.random.split(jax.random.fold_in(KEY, 99), 8)
+    kr = trlwe.new_binary_key(kk[0], P.N, P.k, 0.0)
+    kt = trlwe.extract_tlwe_key(kr)
+    m = torus.double2torus(jnp.arange(3) / 16.0)      # batch 3
+    c = tlwe.encrypt(m, kt, kk[1])
+
+    sk1 = ks.new_packing1_ks_key_seeded(kk[2], kr, kt, P.t, P.base_bit)
+    dense1 = ks.expand_generic_ks_key(sk1)
+    o_s = ks.packing1_keyswitch(c, sk1)
+    o_d = ks.packing1_keyswitch(c, dense1)
+    np.testing.assert_array_equal(np.asarray(o_s.a), np.asarray(o_d.a))
+    np.testing.assert_array_equal(np.asarray(o_s.b), np.asarray(o_d.b))
+
+    sk2 = ks.new_priv_sk_ks_key_seeded(kk[3], kr, kt, P.t, P.base_bit)
+    dense2 = ks.expand_generic_ks_key(sk2)
+    o_s = ks.priv_keyswitch(c, sk2)
+    o_d = ks.priv_keyswitch(c, dense2)
+    np.testing.assert_array_equal(np.asarray(o_s.a), np.asarray(o_d.a))
+    np.testing.assert_array_equal(np.asarray(o_s.b), np.asarray(o_d.b))
+
+    tb = 4
+    sk3 = ks.new_lut_packing_ks_key_seeded(kk[4], kr, kt, P.t, P.base_bit,
+                                           tb)
+    dense3 = ks.expand_lut_packing_ks_key(sk3)
+    ms = torus.double2torus(jnp.arange(tb) / (2.0 * tb))
+    cs = tlwe.encrypt(ms, kt, kk[5])
+    o_s = ks.lut_packing_keyswitch(cs, sk3)
+    o_d = ks.lut_packing_keyswitch(cs, dense3)
+    np.testing.assert_array_equal(np.asarray(o_s.a), np.asarray(o_d.a))
+    np.testing.assert_array_equal(np.asarray(o_s.b), np.asarray(o_d.b))
+
+    # and under jit (trace-time isinstance dispatch)
+    o_j = jax.jit(ks.packing1_keyswitch)(c, sk1)
+    o_d = ks.packing1_keyswitch(c, dense1)
+    np.testing.assert_array_equal(np.asarray(o_j.a), np.asarray(o_d.a))
