@@ -732,6 +732,200 @@ def blind_rotate_scan(acc0, a_int, keyv32, keyvs32, kp: PBSKernelPlan,
     return merge_limbs(out)
 
 
+# ---------------------------------------------------------------------------
+# Gadget-axis (tensor-parallel) split step: partial NTT-domain accumulator
+# over a local slice of the key's J rows, psum'd outside by the caller
+# (`parallel.mesh`), then finished (inverse NTT + garner + carry add).
+# ---------------------------------------------------------------------------
+
+def _make_partial_step_kernel(kp: PBSKernelPlan, j_local: int):
+    """Rotate + decompose + forward NTT + mul-acc over key rows
+    [j0, j0 + j_local); emits the *exact* (< p) NTT-domain partial so the
+    caller's cross-shard psum of m partials stays < m*p (u32-exact for
+    m*p < 2^32).  Decomposition math is bit-identical to
+    `_make_step_kernel`; only the J loop bounds differ."""
+    N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
+    bt = kp.bt
+
+    def kernel(j0_ref, acc_ref, a_ref, keyv_ref, keyvs_ref, ftw_ref,
+               ftws_ref, spec_out_ref, dig_ref, spec_ref):
+        # acc_ref: [1, nl, C, BT, N] u32; a_ref: [1, BT, 1] i32
+        # keyv/s: [j_local, C, P, N] u32 (this shard's key rows)
+        # j0_ref: [1] i32 in SMEM — global index of the first local row
+        # spec_out_ref: [1, C, P, BT, N] u32, each value in [0, p)
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        a_col = a_ref[0]
+        j0 = j0_ref[0]
+
+        for c in range(C):
+            if kp.nl == 1:
+                alo = acc_ref[0, 0, c]
+                rlo = _negacyclic_rotate_limb32(alo, a_col, liota, N)
+                lo = (rlo - alo) + _U32(kp.off_lo)
+                for i in range(l):
+                    dig_ref[c * l + i] = _decompose_digit(
+                        lo, None, i, Bg_bit, tb=32)
+                continue
+            alo = acc_ref[0, 0, c]
+            ahi = acc_ref[0, 1, c]
+            rlo, rhi = _negacyclic_rotate_limbs(alo, ahi, a_col, liota, N)
+            slo = rlo - alo
+            borrow = (rlo < alo).astype(_U32)
+            shi = rhi - ahi - borrow
+            lo = slo + _U32(kp.off_lo)
+            carry = (lo < _U32(kp.off_lo)).astype(_U32)
+            hi = shi + _U32(kp.off_hi) + carry
+            for i in range(l):
+                dig_ref[c * l + i] = _decompose_digit(lo, hi, i, Bg_bit)
+
+        for c in range(C):
+            for p in range(P):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+
+        def body(j, carry):
+            d = dig_ref[j0 + j]
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                for c in range(C):
+                    kv = jnp.broadcast_to(
+                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    ks = jnp.broadcast_to(
+                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    prod = _shoup_lazy(s_, kv, ks, p)
+                    spec_ref[c, p_i] = _cond_sub(
+                        spec_ref[c, p_i] + prod, 2 * p)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(j_local), body,
+                          jnp.int32(0))
+
+        for c in range(C):
+            for p_i in range(P):
+                spec_out_ref[0, c, p_i] = _exact(spec_ref[c, p_i],
+                                                 kp.primes[p_i])
+
+    return kernel
+
+
+def partial_step_tiles(acc_tiles, a_tiles, j0, keyv, keyvs,
+                       kp: PBSKernelPlan, interpret: bool = False):
+    """Partial blind-rotate step over this shard's key rows.
+
+    acc_tiles: [nb, nl, C, BT, N] u32; a_tiles: [nb, BT, 1] i32;
+    j0: [1] i32; keyv/keyvs: [j_local, C, P, N] u32.
+    Returns the NTT-domain partial [nb, C, P, BT, N] u32, values < p."""
+    nb = acc_tiles.shape[0]
+    N, P, C, bt, nl = kp.N, kp.P, kp.C, kp.bt, kp.nl
+    j_local = keyv.shape[0]
+    S = N.bit_length() - 1
+    kernel = _make_partial_step_kernel(kp, j_local)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, C, P, bt, N), _U32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nl, C, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, 1), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j_local, C, P, N),
+                         lambda i: (i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j_local, C, P, N),
+                         lambda i: (i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, P, bt, N),
+                               lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kp.J, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(j0, acc_tiles, a_tiles, keyv, keyvs, kp.ftw, kp.ftws)
+
+
+def _make_finish_step_kernel(kp: PBSKernelPlan, n_sub: int):
+    """Inverse NTT + garner of the psum'd spec (< (2*n_sub + 2)*p per
+    value) and carry add — the tail of `_make_step_kernel`."""
+    N, P, C = kp.N, kp.P, kp.C
+    bt = kp.bt
+
+    def kernel(acc_ref, spec_ref, itw_ref, itws_ref, out_ref):
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        for c in range(C):
+            ts = []
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                s = spec_ref[0, c, p_i]
+                for _ in range(n_sub):
+                    s = _cond_sub(s, 2 * p)
+                ts.append(_inv_ntt(s, itw_ref[p_i], itws_ref[p_i],
+                                   liota, p, N))
+            if kp.nl == 1:
+                dlo = _garner_limb32(ts, kp)
+                out_ref[0, 0, c] = acc_ref[0, 0, c] + dlo
+                continue
+            dlo, dhi = _garner_limbs(ts, kp)
+            alo = acc_ref[0, 0, c]
+            ahi = acc_ref[0, 1, c]
+            olo = alo + dlo
+            carry = (olo < alo).astype(_U32)
+            out_ref[0, 0, c] = olo
+            out_ref[0, 1, c] = ahi + dhi + carry
+
+    return kernel
+
+
+def finish_step_tiles(acc_tiles, spec, kp: PBSKernelPlan, n_parts: int,
+                      interpret: bool = False):
+    """Finish a TP blind-rotate step: acc + garner(invntt(spec)).
+
+    spec: [nb, C, P, BT, N] u32 — the psum of `n_parts` exact partials
+    (each < p), so values are < n_parts * p; requires n_parts * p < 2^32
+    (checked by the caller)."""
+    nb = acc_tiles.shape[0]
+    N, P, C, bt, nl = kp.N, kp.P, kp.C, kp.bt, kp.nl
+    S = N.bit_length() - 1
+    n_sub = max(0, (n_parts - 1) // 2)       # < n_parts*p -> < 2p
+    kernel = _make_finish_step_kernel(kp, n_sub)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nl, C, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P, bt, N),
+                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nl, C, bt, N),
+                               lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(acc_tiles, spec, kp.itw, kp.itws)
+
+
 def _limbs_to_resi(lo, hi, kp: PBSKernelPlan, p_i: int):
     """Centered residue mod p of the torus value held in u32 limbs.
 

@@ -75,6 +75,44 @@ def _blind_rotate_tp(acc_st, a_int, bk_v, bk_vs, plan, l, Bg_bit, k, N,
     return out
 
 
+def _blind_rotate_tp_kernel(acc, a_scan, bk_v32, bk_vs32, kp,
+                            model_axis: str | None, m_size: int,
+                            interpret: bool = False):
+    """Kernel-speed blind rotate with the key's J axis sharded over
+    `model_axis`: each step runs the fused partial kernel over this
+    shard's key rows (rotate + decompose + fwd NTT + mul-acc), psums the
+    exact (< p) NTT-domain partials across shards, and finishes (inverse
+    NTT + garner + carry add) in a second kernel.  Bit-identical to the
+    replicated fused kernel: the partials are exact residues, their true
+    sum stays < m*p < 2^32, and `_inv_ntt` output is canonical.
+
+    acc: [Bs, C, N] torus; a_scan: [n, Bs] i32;
+    bk_v32/bk_vs32: [n, J/m, C, P, N] u32 (this shard's rows)."""
+    from ..ops import pbs_kernel as _pk
+    Bs = acc.shape[0]
+    nb = Bs // kp.bt
+    tiles = _pk.split_limbs(acc, kp)
+    a_tiles = a_scan.reshape(a_scan.shape[0], nb, kp.bt, 1)
+    if model_axis is not None and m_size > 1:
+        j_local = kp.J // m_size
+        j0 = (jax.lax.axis_index(model_axis).astype(jnp.int32)
+              * jnp.int32(j_local))[None]
+    else:
+        j0 = jnp.zeros((1,), jnp.int32)
+
+    def step(carry, xs):
+        v32, vs32, ai = xs
+        spec = _pk.partial_step_tiles(carry, ai, j0, v32, vs32, kp,
+                                      interpret=interpret)
+        if model_axis is not None and m_size > 1:
+            spec = jax.lax.psum(spec, model_axis)
+        return _pk.finish_step_tiles(carry, spec, kp, m_size,
+                                     interpret=interpret), None
+
+    out, _ = jax.lax.scan(step, tiles, (bk_v32, bk_vs32, a_tiles))
+    return _pk.merge_limbs(out)
+
+
 def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
                 data_axis: str = "data", model_axis: str | None = "model",
                 impl: str = "auto", interpret: bool = False):
@@ -99,7 +137,10 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
     assert J % m_size == 0
     if impl == "auto":
         from .. import bootstrap as _bs
-        impl = ("pallas" if m_size == 1 and _bs._pallas_eligible(bk)
+        # kernel TP needs the psum of m exact partials to fit u32
+        tp_ok = m_size == 1 or (J % m_size == 0
+                                and m_size * max(bk.primes) < 2**32)
+        impl = ("pallas" if tp_ok and _bs._pallas_eligible(bk)
                 else "jnp")
 
     bk_spec = P(None, model_axis, None, None, None) if model_axis else \
@@ -128,9 +169,15 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
                 a_scan = jnp.concatenate(
                     [a_scan, jnp.zeros(a_scan.shape[:-1] + (pad,),
                                        jnp.int32)], axis=-1)
-            out = _pk.blind_rotate_scan(
-                acc, a_scan, bk_v.astype(jnp.uint32),
-                bk_vs.astype(jnp.uint32), kp, interpret=interpret)
+            if m_size > 1:
+                out = _blind_rotate_tp_kernel(
+                    acc, a_scan, bk_v.astype(jnp.uint32),
+                    bk_vs.astype(jnp.uint32), kp, model_axis, m_size,
+                    interpret=interpret)
+            else:
+                out = _pk.blind_rotate_scan(
+                    acc, a_scan, bk_v.astype(jnp.uint32),
+                    bk_vs.astype(jnp.uint32), kp, interpret=interpret)
             return out[:Bs] if pad else out
         acc = _blind_rotate_tp(acc, a_scan, bk_v, bk_vs, plan, l, Bg_bit,
                                k, N, model_axis if m_size > 1 else None)

@@ -89,6 +89,28 @@ def test_model_shard_4way():
     _phase_check(got, key_out, luts, slots)
 
 
+def test_pallas_kernel_model_sharded():
+    """Kernel-speed gadget-axis sharding (`_blind_rotate_tp_kernel`):
+    each CMUX step runs the partial-step kernel over this shard's J rows,
+    psums the exact NTT-domain partials, and finishes in a second kernel.
+    Must be bit-identical to the unsharded bootstrap (the partials are
+    exact residues and `_inv_ntt` output is canonical)."""
+    p = params.TFHEParams(
+        n=8, N=128, k=1, l=2, Bg_bit=10, t=6, base_bit=4,
+        lwe_sigma=2.0**-28, rlwe_sigma=2.0**-44, name="MESH_PALLAS_TP",
+    )
+    batch = 4                       # 2 data shards x 2 per shard (padded)
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(5, batch, p=p)
+    mesh = pmesh.make_mesh(jax.devices()[:4], data=2, model=2)
+    run = pmesh.pbs_on_mesh(mesh, bk, torus_base=4, model_axis="model",
+                            impl="pallas", interpret=True)
+    got = run(tv, cs)
+    want = bootstrap.functional_bootstrap(tv1, cs, bk, 4)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    _phase_check(got, key_out, luts, slots)
+
+
 def test_pallas_kernel_on_mesh_with_padding():
     """The fused kernel path inside shard_map (interpreter mode), with a
     per-shard batch (2) that is not a multiple of the kernel tile (32):
