@@ -347,31 +347,57 @@ def _ffnt_slot_exponents(N: int) -> np.ndarray:
     return es
 
 
+def _spqlios_slot_exponents(N: int) -> np.ndarray:
+    """e_j (odd, mod 2N) for slots j < N/2 of the SPQLIOS DFT layout
+    (the reference's *default* FFT backend,
+    `fft_processor_spqlios.c:81-97`, tables `spqlios-fft-impl.c:70-113`).
+
+    Fitted from reference-generated delta probes at N=256 and N=2048
+    (tests/vectors/v3_sp_probe*.bin): like FFNT the file holds
+    re[0:N/2], im[N/2:N] of evaluations at psi^e_j, but the slot order is
+    the plain bit-reversal e_j = 4*bitrev(j) + 1 — without FFNT's
+    dyadic-block reordering."""
+    half = N // 2
+    bits = half.bit_length() - 1
+
+    def br(x):
+        r = 0
+        for _ in range(bits):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        return r
+
+    return np.array([4 * br(j) + 1 for j in range(half)], dtype=np.int64)
+
+
+_DFT_LAYOUTS = {"ffnt": _ffnt_slot_exponents,
+                "spqlios": _spqlios_slot_exponents}
 _FFNT_CACHE = {}
 
 
-def _ffnt_matrix(N: int) -> np.ndarray:
+def _ffnt_matrix(N: int, layout: str = "ffnt") -> np.ndarray:
     """[N/2, N] complex: M[j, k] = psi^(e_j * k)."""
-    if N not in _FFNT_CACHE:
-        es = _ffnt_slot_exponents(N)
+    if (N, layout) not in _FFNT_CACHE:
+        es = _DFT_LAYOUTS[layout](N)
         ks = np.arange(N)
-        _FFNT_CACHE[N] = np.exp(1j * np.pi * np.outer(es, ks) / N)
-    return _FFNT_CACHE[N]
+        _FFNT_CACHE[N, layout] = np.exp(1j * np.pi * np.outer(es, ks) / N)
+    return _FFNT_CACHE[N, layout]
 
 
-def torus_to_ffnt_dft(p) -> np.ndarray:
-    """u64 torus coefficients [..., N] -> FFNT DFT doubles [..., N]
-    (`execute_reverse_torus64`, `ffnt.c:820-831`: signed reinterpretation
-    then the twisted forward transform)."""
+def torus_to_ffnt_dft(p, layout: str = "ffnt") -> np.ndarray:
+    """u64 torus coefficients [..., N] -> f64 DFT doubles [..., N]
+    (`execute_reverse_torus64`: signed reinterpretation then the twisted
+    forward transform; `ffnt.c:820-831` / `fft_processor_spqlios.c:81-97`
+    depending on `layout`)."""
     p = np.asarray(p, dtype=np.uint64)
     N = p.shape[-1]
     a = p.view(np.int64).astype(np.float64)
-    z = a @ _ffnt_matrix(N).T                 # [..., N/2] complex
+    z = a @ _ffnt_matrix(N, layout).T         # [..., N/2] complex
     return np.concatenate([z.real, z.imag], axis=-1)
 
 
-def ffnt_dft_to_torus(d) -> np.ndarray:
-    """FFNT DFT doubles [..., N] -> u64 torus coefficients [..., N].
+def ffnt_dft_to_torus(d, layout: str = "ffnt") -> np.ndarray:
+    """f64 DFT doubles [..., N] -> u64 torus coefficients [..., N].
 
     Inverse evaluation (a_k = (2/N) sum_j Re(z_j psi^(-e_j k))), rounded to
     the nearest integer mod 2^64 — recovers the reference's effective
@@ -379,29 +405,29 @@ def ffnt_dft_to_torus(d) -> np.ndarray:
     d = np.asarray(d, dtype=np.float64)
     N = d.shape[-1]
     z = d[..., :N // 2] + 1j * d[..., N // 2:]
-    a = (2.0 / N) * (z @ np.conj(_ffnt_matrix(N)))
+    a = (2.0 / N) * (z @ np.conj(_ffnt_matrix(N, layout)))
     # centered values in (-2^63, 2^63): two's-complement reinterpret
     return np.round(a.real).astype(np.int64).astype(np.uint64)
 
 
-def import_mosfhet_trlwe_dft(f, k: int, N: int):
+def import_mosfhet_trlwe_dft(f, k: int, N: int, layout: str = "ffnt"):
     """`trlwe_save_DFT_sample` (portable/FFNT build): k+1 DFT polynomials
     of N doubles -> time-domain TRLWE."""
     from .trlwe import TRLWE
     d = np.frombuffer(f.read(8 * (k + 1) * N), dtype="<f8").reshape(k + 1, N)
-    coeffs = ffnt_dft_to_torus(d)
+    coeffs = ffnt_dft_to_torus(d, layout)
     return TRLWE(a=jnp.asarray(coeffs[:k]), b=jnp.asarray(coeffs[k]))
 
 
-def export_mosfhet_trlwe_dft(f, c):
+def export_mosfhet_trlwe_dft(f, c, layout: str = "ffnt"):
     """Write a TRLWE in the reference's FFNT DFT-sample layout."""
     st = np.concatenate([np.asarray(c.a, np.uint64),
                          np.asarray(c.b, np.uint64)[None]], axis=0)
     f.write(np.ascontiguousarray(
-        torus_to_ffnt_dft(st).astype("<f8")).tobytes())
+        torus_to_ffnt_dft(st, layout).astype("<f8")).tobytes())
 
 
-def import_mosfhet_trlwe_ks_key(f):
+def import_mosfhet_trlwe_ks_key(f, layout: str = "ffnt"):
     """`trlwe_save_KS_key` (`keyswitch.c:122-141`): ints base_bit, t, k_in,
     k, N then k_in*t TRLWE DFT samples.
 
@@ -413,7 +439,7 @@ def import_mosfhet_trlwe_ks_key(f):
     plan = _ks._ks_plan(N, base_bit, t, k_in * t)
     rows = []
     for _ in range(k_in):
-        per_t = [import_mosfhet_trlwe_dft(f, k, N) for _ in range(t)]
+        per_t = [import_mosfhet_trlwe_dft(f, k, N, layout) for _ in range(t)]
         rows.append(np.stack([
             np.concatenate([np.asarray(c.a, np.uint64),
                             np.asarray(c.b, np.uint64)[None]], axis=0)
@@ -425,7 +451,7 @@ def import_mosfhet_trlwe_ks_key(f):
                           primes=plan.primes)
 
 
-def export_mosfhet_trlwe_ks_key(f, ksk):
+def export_mosfhet_trlwe_ks_key(f, ksk, layout: str = "ffnt"):
     """Write a TRLWEKSKey in the reference's format (FFNT DFT samples)."""
     from . import ntt as _ntt2
     plan = ksk.plan()
@@ -436,7 +462,7 @@ def export_mosfhet_trlwe_ks_key(f, ksk):
     for i in range(k_in):
         for j in range(t):
             f.write(np.ascontiguousarray(
-                torus_to_ffnt_dft(st[i, j]).astype("<f8")).tobytes())
+                torus_to_ffnt_dft(st[i, j], layout).astype("<f8")).tobytes())
 
 
 def _read_compressed_trlwe_batch(f, count: int, k: int, N: int, prng: str,
@@ -560,7 +586,7 @@ def import_mosfhet_compressed_trlwe_vaes(f, k: int, N: int, aes_key: bytes):
     return TRLWE(a=jnp.asarray(a), b=jnp.asarray(b))
 
 
-def export_mosfhet_bootstrap_key(f, bk):
+def export_mosfhet_bootstrap_key(f, bk, layout: str = "ffnt"):
     """`save_bootstrap_key` (`bootstrap.c:63-79`): ints n, l, k, N, Bg_bit,
     unfolding; unfold=1 keys as DFT TRGSWs (FFNT layout), unfold>=2 keys as
     time-domain TRGSWs."""
@@ -574,12 +600,12 @@ def export_mosfhet_bootstrap_key(f, bk):
             np.uint64)                         # [n, (k+1)l, k+1, N]
         for i in range(rows.shape[0]):
             f.write(np.ascontiguousarray(
-                torus_to_ffnt_dft(rows[i]).astype("<f8")).tobytes())
+                torus_to_ffnt_dft(rows[i], layout).astype("<f8")).tobytes())
         return
     _write_u64(f, np.asarray(bk.su_u64(), np.uint64))
 
 
-def import_mosfhet_bootstrap_key_dft(f):
+def import_mosfhet_bootstrap_key_dft(f, layout: str = "ffnt"):
     """`load_new_bootstrap_key` for unfold=1 (DFT-format) keys: recover the
     time-domain TRGSW rows from the FFNT DFT samples and rebuild the
     NTT-form key."""
@@ -592,7 +618,7 @@ def import_mosfhet_bootstrap_key_dft(f):
     for i in range(n):
         d = np.frombuffer(f.read(8 * R * (k + 1) * N),
                           dtype="<f8").reshape(R, k + 1, N)
-        rows[i] = ffnt_dft_to_torus(d)
+        rows[i] = ffnt_dft_to_torus(d, layout)
     bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), R)
     primes = _ntt.primes_for_bound(bound)
     plan = _ntt.get_plan(N, primes)
