@@ -89,6 +89,30 @@ def test_model_shard_4way():
     _phase_check(got, key_out, luts, slots)
 
 
+def test_dist_ntt_n_sharded():
+    """Coefficient-sharded (N-sharded) negacyclic NTT over all 8 devices
+    (`parallel/dist_ntt.py`): four-step factorization with one ppermute
+    per cross-device butterfly stage.  Bit-exact vs the single-device
+    `polynomial.ntt_mul_small` at N=16384 (beyond the reference's N<=8192
+    envelope, `misc.c:147-158`)."""
+    from mosfhet_tpu.parallel import dist_ntt
+    from mosfhet_tpu import polynomial, ntt as _ntt
+    from jax.sharding import Mesh
+    N = 16384
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("x",))
+    run = dist_ntt.make_dist_ntt_mul_small(mesh, N, axis="x",
+                                           max_abs_digit=256)
+    rng_np = np.random.default_rng(7)
+    d = jnp.asarray(rng_np.integers(-256, 257, size=N), jnp.int64)
+    b = jnp.asarray(rng_np.integers(0, 1 << 64, size=N, dtype=np.uint64))
+    with mesh:
+        got = run(d, b)
+    plan = _ntt.get_plan(N, _ntt.primes_for_bound(
+        _ntt.conv_bound(N, 256, 1)))
+    want = polynomial.ntt_mul_small(d, b, plan)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_pallas_kernel_model_sharded():
     """Kernel-speed gadget-axis sharding (`_blind_rotate_tp_kernel`):
     each CMUX step runs the partial-step kernel over this shard's J rows,
