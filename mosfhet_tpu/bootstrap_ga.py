@@ -288,16 +288,29 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
                                interpret=interp)
             return (r[:B] if pad else r).reshape(batch + (k + 1, N))
 
+        import os
+        stream = os.environ.get("MOSFHET_GA_STREAM", "1") == "1"
+
         def auto_ks(acc_st, gen):
             """Permute (log-factored static gathers) + fused keyswitch
-            kernel with the per-row gathered keyset entry."""
+            kernel.  Default: the keyset stays HBM-resident and the
+            selected per-row entries are DMA-streamed inside the kernel
+            (scalar-prefetched indices) — no per-step XLA gather
+            materialization.  MOSFHET_GA_STREAM=0 falls back to the
+            gather + per-row-key kernel."""
             perm = _permute_log(acc_st, gen, N)
             x = jnp.broadcast_to(perm, batch + (k + 1, N)
                                  ).reshape(B, k + 1, N)
             kidx = jnp.broadcast_to((gen - 1) >> 1, batch).reshape(B)
-            kv = jnp.take(ak32, kidx, axis=0)       # [B, Jk, k+1, P, N]
-            out = _pk.auto_keyswitch(_pad_rows(x), _pad_rows(kv), kp_ks,
-                                     interpret=interp)
+            if stream:
+                kidx_p = (jnp.concatenate(
+                    [kidx, jnp.zeros((pad,), kidx.dtype)]) if pad else kidx)
+                out = _pk.auto_keyswitch_stream(
+                    _pad_rows(x), ak32, kidx_p, kp_ks, interpret=interp)
+            else:
+                kv = jnp.take(ak32, kidx, axis=0)   # [B, Jk, k+1, P, N]
+                out = _pk.auto_keyswitch(_pad_rows(x), _pad_rows(kv),
+                                         kp_ks, interpret=interp)
             return (out[:B] if pad else out).reshape(batch + (k + 1, N))
 
         acc = auto_ks(tv.stacked(), w[..., 0])

@@ -1372,6 +1372,155 @@ def auto_keyswitch(perm, key_rows, kp: PBSKernelPlan,
     return merge_limbs(out)
 
 
+def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
+    """Auto-keyswitch with the per-row AK entries DMA-streamed HBM->VMEM
+    inside the kernel (scalar-prefetched indices) instead of an XLA
+    gather: the gather materializes [B, Jk, C, P, N] in HBM (plus a tile
+    transpose) every step — the dominant residual of the GA bootstrap
+    (`blind_rotate_ga`); here each grid step copies its bt rows' entries
+    straight into VMEM, overlapped with the (key-independent) decompose
+    and forward NTTs."""
+    N, P, C = kp.N, kp.P, kp.C
+    t = kp.l
+    k_in = C - 1
+    Jk = k_in * t
+    bt, nl = kp.bt, kp.nl
+
+    def kernel(kidx_ref, perm_ref, ak_ref, ftw_ref, ftws_ref,
+               itw_ref, itws_ref, out_ref, dig_ref, spec_ref,
+               key_scr, sems):
+        # kidx_ref: [B] i32 (scalar prefetch); ak_ref: [G, Jk, C, P, N]
+        # u32 in HBM (ANY); key_scr: [Jk, C, P, bt, N] VMEM;
+        # sems: [bt] DMA semaphores
+        i = pl.program_id(0)
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+
+        copies = []
+        for r in range(bt):
+            idx = kidx_ref[i * bt + r]
+            cp = pltpu.make_async_copy(
+                ak_ref.at[idx], key_scr.at[:, :, :, r], sems.at[r])
+            cp.start()
+            copies.append(cp)
+
+        # decompose + zero spec while the key DMAs fly
+        for c in range(k_in):
+            alo = perm_ref[0, 0, c]
+            if nl == 1:
+                lo = alo + _U32(kp.off_lo)
+                for di in range(t):
+                    dig_ref[c * t + di] = _decompose_digit(
+                        lo, None, di, kp.Bg_bit, tb=32)
+                continue
+            ahi = perm_ref[0, 1, c]
+            lo = alo + _U32(kp.off_lo)
+            carry = (lo < _U32(kp.off_lo)).astype(_U32)
+            hi = ahi + _U32(kp.off_hi) + carry
+            for di in range(t):
+                dig_ref[c * t + di] = _decompose_digit(lo, hi, di, kp.Bg_bit)
+
+        for c in range(C):
+            for p in range(P):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+
+        for cp in copies:
+            cp.wait()
+
+        def body(j, carry):
+            d = dig_ref[j]
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                r_ = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                s_ = _fwd_ntt(r_, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                for c in range(C):
+                    kv = key_scr[j, c, p_i]              # [BT, N]
+                    prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
+                    spec_ref[c, p_i] = _cond_sub(
+                        spec_ref[c, p_i] + prod, 2 * p)
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body, jnp.int32(0))
+
+        for c in range(C):
+            ts = []
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
+                                   itws_ref[p_i], liota, p, N))
+            if nl == 1:
+                dlo = _garner_limb32(ts, kp)
+                base = perm_ref[0, 0, c] if c == k_in else _U32(0)
+                out_ref[0, 0, c] = base - dlo
+                continue
+            dlo, dhi = _garner_limbs(ts, kp)
+            if c == k_in:
+                blo = perm_ref[0, 0, c]
+                bhi = perm_ref[0, 1, c]
+            else:
+                blo = jnp.zeros((bt, N), _U32)
+                bhi = jnp.zeros((bt, N), _U32)
+            olo = blo - dlo
+            borrow = (blo < dlo).astype(_U32)
+            out_ref[0, 0, c] = olo
+            out_ref[0, 1, c] = bhi - dhi - borrow
+
+    return kernel
+
+
+def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
+                          interpret: bool = False):
+    """Automorphism keyswitch, keyset resident in HBM and the selected
+    entries DMA-streamed per batch row (see `_make_auto_ks_stream_kernel`).
+
+    perm: [B, C, N] torus; ak32: [G, Jk, C, P, N] u32 exact residues
+    (the FULL keyset); kidx: [B] i32 entry index per row.
+    Returns [B, C, N] torus: (0, b) - sum dec(a) (x) key."""
+    B, C, N = perm.shape
+    t = kp.l
+    Jk = (C - 1) * t
+    P, bt, nl = kp.P, kp.bt, kp.nl
+    S = N.bit_length() - 1
+    nb = B // bt
+    tiles = split_limbs(perm, kp)
+    kernel = _make_auto_ks_stream_kernel(kp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, nl, C, bt, N),
+                         lambda i, k_ref: (i, i * 0, i * 0, i * 0, i * 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((P, S, N),
+                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
+            pl.BlockSpec((P, S, N),
+                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
+            pl.BlockSpec((P, S + 1, N),
+                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
+            pl.BlockSpec((P, S + 1, N),
+                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nl, C, bt, N),
+            lambda i, k_ref: (i, i * 0, i * 0, i * 0, i * 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Jk, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+            pltpu.VMEM((Jk, C, P, bt, N), _U32),
+            pltpu.SemaphoreType.DMA((bt,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(kidx.astype(jnp.int32), tiles, ak32, kp.ftw, kp.ftws, kp.itw,
+      kp.itws)
+    return merge_limbs(out)
+
+
 # ---------------------------------------------------------------------------
 # Phase-1 kernel: rotate + combine the unfolded key products, fused NTT
 #
