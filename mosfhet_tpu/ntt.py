@@ -50,6 +50,11 @@ import jax.numpy as jnp
 MASTER_PRIMES = (943718401, 950009857, 962592769, 975175681,
                  985661441, 998244353, 1004535809, 1012924417)
 DEFAULT_PRIMES = MASTER_PRIMES[-3:]   # 2^89.7 of CRT range
+# Narrow-window primes (< 2^29, == 1 mod 16384): butterfly sums up to 8p
+# still fit u32, enabling depth-3 lazy chains in the kernel's forward NTT
+# (reduce every 3rd stage) — the ROADMAP perf candidate (a) ablation.
+# Product 2^87.0 > the L2 external-product bound 2^86.
+NARROW_PRIMES = (536608769, 536641537, 536690689)
 # Wider set for exact "128-bit" products (tensor product / relinearization,
 # reference `src/fft/karatsuba.c`): product ≈ 2^149.5 > 2 * N * 2^126.
 TENSOR_PRIMES = MASTER_PRIMES[-5:]
@@ -58,7 +63,18 @@ TENSOR_PRIMES = MASTER_PRIMES[-5:]
 def primes_for_bound(bound: int):
     """Smallest suffix of MASTER_PRIMES (largest primes first) whose product
     exceeds ``2 * bound`` — i.e. a prime set whose centered CRT range can
-    represent any integer with |value| <= bound."""
+    represent any integer with |value| <= bound.
+
+    MOSFHET_NTT_PRIMES=narrow selects `NARROW_PRIMES` instead whenever
+    their range covers the bound (the depth-3 lazy-chain ablation,
+    ROADMAP perf candidate (a))."""
+    import os
+    if os.environ.get("MOSFHET_NTT_PRIMES") == "narrow":
+        prod = 1
+        for p in NARROW_PRIMES:
+            prod *= p
+        if prod > 2 * bound:
+            return NARROW_PRIMES
     chosen = []
     prod = 1
     for p in reversed(MASTER_PRIMES):
@@ -161,11 +177,13 @@ class NTTPlan:
         # `barrett_mul` (two conditional subtractions) is exact only when its
         # quotient underestimate is < 3, i.e. 2^30/p + 1.25 < 3  ->
         # p > 2^30 / 1.75 — stricter than the framework-wide (2^28, 2^30)
-        # prime window, so enforce it where the constants are built.
-        assert min(self.primes) > (1 << 30) // 1.75, \
-            "barrett_mul needs all primes > 2^30/1.75 (~2^29.2)"
+        # prime window.  Narrow-prime plans (the lazy-chain ablation,
+        # `NARROW_PRIMES`) cannot use the dynamic-operand Barrett paths;
+        # `barrett_mul` asserts the flag.
+        self.barrett_ok = min(self.primes) > (1 << 30) // 1.75
         self.mu62 = jnp.asarray(
-            np.array([(1 << 62) // p for p in self.primes], dtype=np.uint64)
+            np.array([(1 << 62) // p if self.barrett_ok else 0
+                      for p in self.primes], dtype=np.uint64)
         )
         self.psi_rev = jnp.asarray(psi_rev)
         self.psi_rev_shoup = jnp.asarray(psi_rev_sh)
@@ -238,6 +256,8 @@ def barrett_mul(a, b, plan: "NTTPlan"):
     < 2.4, so two conditional subtractions return the exact value.
     Replaces `make_shoup` on hot paths that multiply two dynamic operands
     (e.g. the unfolded blind rotate's per-step combined TRGSW)."""
+    assert plan.barrett_ok, \
+        "barrett_mul needs all primes > 2^30/1.75 (narrow-prime plan)"
     pp = plan.p[:, None]
     mu = plan.mu62[:, None]
     z = a * b

@@ -136,20 +136,30 @@ def _barrett_lazy(a, b, p: int, mup: int):
 # NTT stages (lane-roll butterflies)
 # ---------------------------------------------------------------------------
 
-def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int):
+def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int, lazy3: bool = False):
     """Forward negacyclic NTT over the lane axis.
 
     x: [BT, N] u32 in [0, 2p) (lazy ok).  ftw/ftws: [S, N] twiddle rows
-    (stage-major; see `PBSKernelPlan`).  Output lazy in [0, 2p),
-    bit-reversed order (matches `ntt.forward_ntt`).
+    (stage-major; see `PBSKernelPlan`).  Output lazy in [0, 2p) — or
+    [0, 8p) with `lazy3` — bit-reversed order (matches
+    `ntt.forward_ntt` mod p; representatives differ under lazy3, which is
+    sound everywhere the output only feeds `_shoup_lazy`/mod-p sinks).
 
     Stages with half-block t >= 128 slice U/V halves at lane-tile
     boundaries (half the Shoup multiplies, no rolls or selects); smaller
     stages use full-width lane-roll butterflies.
+
+    lazy3 (requires 8p <= 2^32, the `NARROW_PRIMES` window): each stage
+    adds < 2p, so three stages fit before reduction — reduce every third
+    stage with two conditional subtractions (4p then 2p) instead of one
+    per stage: 11 cond-subs -> 6 for N=2048.
     """
     S = N.bit_length() - 1
+    bound = 1                       # x < bound * 2p
     for s in range(S):
         t = N >> (s + 1)
+        out_b = bound + 1
+        reduce_now = (out_b >= 4) if lazy3 else True
         if t >= 128:
             m = 1 << s
             parts = []
@@ -160,22 +170,34 @@ def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int):
                 tw = jnp.broadcast_to(ftw[s:s + 1, base:base + t], u.shape)
                 tws = jnp.broadcast_to(ftws[s:s + 1, base:base + t], u.shape)
                 vw = _shoup_lazy(v, tw, tws, p)
-                parts.append(_cond_sub(u + vw, 2 * p))
-                parts.append(_cond_sub(u + _U32(2 * p) - vw, 2 * p))
+                hi = u + vw
+                lo = u + _U32(2 * p) - vw
+                if reduce_now:
+                    if out_b > 2:
+                        hi = _cond_sub(hi, 4 * p)
+                        lo = _cond_sub(lo, 4 * p)
+                    hi = _cond_sub(hi, 2 * p)
+                    lo = _cond_sub(lo, 2 * p)
+                parts.append(hi)
+                parts.append(lo)
             x = jnp.concatenate(parts, axis=1)
-            continue
-        tw = jnp.broadcast_to(ftw[s:s + 1, :], x.shape)
-        tws = jnp.broadcast_to(ftws[s:s + 1, :], x.shape)
-        mask_u = (liota & _U32(2 * t - 1)) < _U32(t)
-        fwd = pltpu.roll(x, jnp.int32(N - t), 1)  # at U rows: V partner (i+t)
-        bwd = pltpu.roll(x, jnp.int32(t), 1)      # at V rows: U partner (i-t)
-        v = jnp.where(mask_u, fwd, x)
-        u = jnp.where(mask_u, x, bwd)
-        vw = _shoup_lazy(v, tw, tws, p)     # < 2p
-        # branchless: U lanes add vw, V lanes add 2p - vw; both < 4p then
-        # one conditional subtraction (bit-identical to the two-path form)
-        term = jnp.where(mask_u, vw, _U32(2 * p) - vw)
-        x = _cond_sub(u + term, 2 * p)
+        else:
+            tw = jnp.broadcast_to(ftw[s:s + 1, :], x.shape)
+            tws = jnp.broadcast_to(ftws[s:s + 1, :], x.shape)
+            mask_u = (liota & _U32(2 * t - 1)) < _U32(t)
+            fwd = pltpu.roll(x, jnp.int32(N - t), 1)  # at U rows: V (i+t)
+            bwd = pltpu.roll(x, jnp.int32(t), 1)      # at V rows: U (i-t)
+            v = jnp.where(mask_u, fwd, x)
+            u = jnp.where(mask_u, x, bwd)
+            vw = _shoup_lazy(v, tw, tws, p)     # < 2p
+            # branchless: U lanes add vw, V lanes add 2p - vw
+            term = jnp.where(mask_u, vw, _U32(2 * p) - vw)
+            x = u + term
+            if reduce_now:
+                if out_b > 2:
+                    x = _cond_sub(x, 4 * p)
+                x = _cond_sub(x, 2 * p)
+        bound = 1 if reduce_now else out_b
     return x
 
 
@@ -302,10 +324,17 @@ class PBSKernelPlan:
         self.red1 = []    # [m] -> floor(2^32/p)         (Shoup companion of 1)
         self.c32 = []     # [m] -> (2^32 mod p, shoup companion)
         self.c64m = []    # [m] -> 2^64 mod p
+        # Depth-3 lazy chains in the forward NTT need butterfly sums
+        # < 8p to fit u32 (the `NARROW_PRIMES` ablation window).
+        self.lazy3 = max(self.primes) <= (1 << 32) // 8
+        self.barrett_ok = min(self.primes) > (1 << 30) // 1.75
         for p in self.primes:
             mu62 = (1 << 62) // p
-            assert (1 << 32) <= mu62 < (1 << 33)
-            self.mup.append(mu62 - (1 << 32))
+            if self.barrett_ok:
+                assert (1 << 32) <= mu62 < (1 << 33)
+                self.mup.append(mu62 - (1 << 32))
+            else:
+                self.mup.append(None)   # dynamic-operand paths unusable
             self.red1.append((1 << 32) // p)
             c32 = (1 << 32) % p
             self.c32.append((c32, (c32 << 32) // p))
@@ -431,7 +460,8 @@ def _make_kernel(kp: PBSKernelPlan):
             for p_i in range(P):
                 p = kp.primes[p_i]
                 r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
+                              p, N, lazy3=kp.lazy3)
                 for c in range(C):
                     kv = jnp.broadcast_to(
                         keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
@@ -603,7 +633,8 @@ def _make_step_kernel(kp: PBSKernelPlan):
             for p_i in range(P):
                 p = kp.primes[p_i]
                 r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
+                              p, N, lazy3=kp.lazy3)
                 for c in range(C):
                     kv = jnp.broadcast_to(
                         keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
@@ -787,7 +818,8 @@ def _make_partial_step_kernel(kp: PBSKernelPlan, j_local: int):
             for p_i in range(P):
                 p = kp.primes[p_i]
                 r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
+                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
+                              p, N, lazy3=kp.lazy3)
                 for c in range(C):
                     kv = jnp.broadcast_to(
                         keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))

@@ -71,3 +71,34 @@ def test_batch_padding_path():
     got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
                         keyvs.astype(jnp.uint32), kp, interpret=True)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_cmux_delta_narrow_primes_lazy3():
+    """NARROW_PRIMES (< 2^29) switch the forward NTT to depth-3 lazy
+    chains (reduce every third stage, `_fwd_ntt(lazy3=True)`); the final
+    accumulator must stay bit-identical to the jnp path — the lazy
+    representatives differ mod p only, and the inverse NTT output is
+    canonical."""
+    N, k, l, Bg_bit = 256, 1, 3, 9
+    C, J = k + 1, (k + 1) * l
+    primes = _ntt.NARROW_PRIMES
+    plan = _ntt.get_plan(N, primes)
+    P = plan.P
+    rng = np.random.default_rng(42)
+    B = 32
+    rot = jnp.asarray(
+        rng.integers(0, 1 << 64, size=(B, C, N), dtype=np.uint64))
+    keyv = jnp.asarray(
+        rng.integers(0, 1 << 62, size=(J, C, P, N), dtype=np.uint64)
+        % np.array(primes, dtype=np.uint64)[None, None, :, None])
+    keyvs = _ntt.make_shoup(keyv, plan.p[:, None])
+    digits = gadget_decompose(rot, Bg_bit, l).reshape(B, J, N)
+    spec = _ntt.to_ntt_small(digits, plan)
+    acc = _ntt.pointwise_mul_acc_key(
+        spec[..., :, None, :, :], keyv, keyvs, plan, axis=-4)
+    want = _ntt.from_ntt_u64(acc, plan)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k)
+    assert kp.lazy3 and not kp.barrett_ok
+    got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
+                        keyvs.astype(jnp.uint32), kp, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
