@@ -201,6 +201,75 @@ def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int, lazy3: bool = False):
     return x
 
 
+def _fwd_ntt_mxu(x, ftw, ftws, tw, tws, w, p: int, s256: int, red1: int,
+                 N: int):
+    """Forward negacyclic NTT with the sub-128 stage tail on the MXU.
+
+    Mathematically identical (mod p) to `_fwd_ntt`: stages whose butterfly
+    span is >= 128 lanes run as the same tile-sliced Shoup butterflies; the
+    remaining log2(128) = 7 stages act block-diagonally on each 128-lane
+    block, and every block's 128x128 stage-product matrix is the block-0
+    matrix times a per-block column twist (classic Cooley-Tukey twiddle
+    factorization, verified exactly at plan build).  So the whole tail is
+
+        y_b = M0 @ (T_b * x_b)   mod p        (per 128-lane block b)
+
+    evaluated exactly on the int8 MXU: fold the four input byte-limb
+    shifts 2^{8j} into matrix copies Mj = M0 * 2^{8j} mod p, balanced-
+    digit decompose Mj over i and the twisted input over j (digits in
+    [-128,128)), contract [R, 4*128] @ [4*128, 4*128] in int8->int32
+    (partials < 128*128*512 = 2^23 < int32), then recombine the four
+    int32 planes P_i with a 3-step Shoup-Horner in base 2^8 plus one
+    final Shoup-by-1 reduction to the lazy [0, 2p) contract.
+
+    x: [R, N] u32 (any values; lazy ok).  tw/tws: [N] twist row.
+    w: [4*128, 4*128] int8 limb matrix (see `PBSKernelPlan._build_mxu`).
+    s256/red1: Shoup companions of 256 and 1 for p.  Output matches
+    `ntt.forward_ntt` mod p, bit-reversed order, in [0, 2p).
+    """
+    S = N.bit_length() - 1
+    R = x.shape[0]
+    BLK = 128
+    NB = N // BLK
+    for s in range(S - 7):                    # head stages, span >= 128
+        t = N >> (s + 1)
+        m = 1 << s
+        parts = []
+        for b in range(m):
+            base = b * 2 * t
+            u = x[:, base:base + t]
+            v = x[:, base + t:base + 2 * t]
+            twb = jnp.broadcast_to(ftw[s:s + 1, base:base + t], u.shape)
+            twsb = jnp.broadcast_to(ftws[s:s + 1, base:base + t], u.shape)
+            vw = _shoup_lazy(v, twb, twsb, p)
+            parts.append(_cond_sub(u + vw, 2 * p))
+            parts.append(_cond_sub(u + _U32(2 * p) - vw, 2 * p))
+        x = jnp.concatenate(parts, axis=1)
+    # per-block column twist, fully reduced so the byte-limb split below
+    # (which adds 0x80808080) cannot overflow u32
+    twr = jnp.broadcast_to(tw[None, :], (R, N))
+    twsr = jnp.broadcast_to(tws[None, :], (R, N))
+    xt = _exact(_shoup_lazy(x, twr, twsr, p), p)          # < p < 2^30
+    outs = []
+    for b in range(NB):
+        xb = xt[:, b * BLK:(b + 1) * BLK] + _U32(0x80808080)
+        X = jnp.concatenate(
+            [(((xb >> _U32(8 * j)) & _U32(255)).astype(jnp.int32)
+              - jnp.int32(128)).astype(jnp.int8) for j in range(4)],
+            axis=1)                                       # [R, 512] i8
+        pm = jax.lax.dot_general(
+            X, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)             # [R, 512] i32
+        # P_i planes are signed (> -2^23); shift by +p into u32 range
+        q = [(pm[:, i * BLK:(i + 1) * BLK] + jnp.int32(p)).astype(_U32)
+             for i in range(4)]
+        t_ = q[3]
+        for i in (2, 1, 0):
+            t_ = _shoup_lazy(t_, _U32(256), _U32(s256), p) + q[i]
+        outs.append(_shoup_lazy(t_, _U32(1), _U32(red1), p))
+    return jnp.concatenate(outs, axis=1)
+
+
 def _inv_ntt(x, itw, itws, liota, p: int, N: int):
     """Inverse NTT (consumes bit-reversed), including 1/N scaling.
 
@@ -247,7 +316,7 @@ class PBSKernelPlan:
     """Tables and constants for one (N, primes, l, Bg_bit, k) configuration."""
 
     def __init__(self, N: int, primes: tuple, l: int, Bg_bit: int, k: int,
-                 bt: int = DEFAULT_BT):
+                 bt: int = DEFAULT_BT, mxu: bool = False):
         assert all((1 << 28) < p < (1 << 30) for p in primes), \
             "pallas kernel needs primes in (2^28, 2^30)"
         # Plans are cached and may first be requested inside a jit trace;
@@ -255,6 +324,9 @@ class PBSKernelPlan:
         # tracers and leak into later traces).
         with jax.ensure_compile_time_eval():
             self._build(N, primes, l, Bg_bit, k, bt)
+            self.use_mxu = bool(mxu) and N >= 128
+            if self.use_mxu:
+                self._build_mxu(N)
 
     def _build(self, N, primes, l, Bg_bit, k, bt):
         from ..torus import TORUS_BITS
@@ -341,10 +413,85 @@ class PBSKernelPlan:
             self.c64m.append((1 << 64) % p)
 
 
+    def _build_mxu(self, N):
+        """Tables for `_fwd_ntt_mxu`: the per-block column twists and the
+        shared int8 limb matrix of the sub-128 stage tail.
+
+        The tail (7 stages, spans < 128) of `ntt.forward_ntt` is simulated
+        on 128 basis vectors to extract the per-block 128x128 matrices
+        M_b; the Cooley-Tukey factorization M_b = M_0 * diag(T_b) is then
+        *verified exactly* (u64 numpy, all blocks/rows/primes) rather than
+        assumed, and M_0 is expanded into the [4*128, 4*128] balanced
+        byte-limb form contracted by the kernel's int8 matmul."""
+        BLK = 128
+        NB = N // BLK
+        S = N.bit_length() - 1
+        s_head = S - 7
+        P = self.P
+        plan = _ntt.get_plan(N, self.primes)
+        psi = np.asarray(plan.psi_rev, np.uint64)            # [P, N]
+        pp = np.array(self.primes, np.uint64)[None, :, None, None]
+
+        basis = np.zeros((BLK, P, N), np.uint64)
+        for c in range(BLK):
+            basis[c, :, c::BLK] = 1          # same offset in every block
+        x = basis
+        for s in range(s_head, S):
+            t = N >> (s + 1)
+            m = 1 << s
+            xr = x.reshape(-1, P, m, 2, t)
+            U, V = xr[:, :, :, 0, :], xr[:, :, :, 1, :]
+            Sw = psi[:, m:2 * m][None, :, :, None]
+            Vw = (V * Sw) % pp
+            x = np.stack([(U + Vw) % pp, (U + pp - Vw) % pp],
+                         axis=3).reshape(-1, P, N)
+        # M[b, p, o, c] = response at output b*BLK+o to basis vector c
+        M = x.reshape(BLK, P, NB, BLK).transpose(2, 1, 3, 0)
+
+        twist = np.zeros((P, N), np.uint32)
+        tws = np.zeros((P, N), np.uint32)
+        W = np.zeros((P, 4 * BLK, 4 * BLK), np.int8)
+        for p_i, p in enumerate(self.primes):
+            inv0 = np.array([pow(int(v), p - 2, p) for v in M[0, p_i, 0]],
+                            dtype=np.uint64)
+            for b in range(NB):
+                T = (M[b, p_i, 0] * inv0) % p                # [BLK]
+                assert np.array_equal((M[0, p_i] * T[None, :]) % p,
+                                      M[b, p_i]), \
+                    "tail twist factorization violated"
+                twist[p_i, b * BLK:(b + 1) * BLK] = T
+                tws[p_i, b * BLK:(b + 1) * BLK] = (
+                    (T.astype(object) << 32) // p).astype(np.uint64)
+            M0 = M[0, p_i].astype(np.int64)                  # [o, c] < 2^30
+            for j in range(4):
+                Mj = (M0 << (8 * j)) % p
+                Moff = Mj + 0x80808080
+                for i in range(4):
+                    D = ((Moff >> (8 * i)) & 255) - 128      # [-128, 128)
+                    # LHS cols are (j*BLK + c); out cols are (i*BLK + o)
+                    W[p_i, j * BLK:(j + 1) * BLK,
+                      i * BLK:(i + 1) * BLK] = D.T.astype(np.int8)
+        self.mxu_tw = jnp.asarray(twist)
+        self.mxu_tws = jnp.asarray(tws)
+        self.mxu_w = jnp.asarray(W)
+        self.s256 = [((256 << 32) // p) for p in self.primes]
+
+
 @functools.lru_cache(maxsize=None)
+def _get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
+                     bt: int, mxu: bool) -> PBSKernelPlan:
+    return PBSKernelPlan(N, primes, l, Bg_bit, k, bt, mxu=mxu)
+
+
 def get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
-                    bt: int = DEFAULT_BT) -> PBSKernelPlan:
-    return PBSKernelPlan(N, primes, l, Bg_bit, k, bt)
+                    bt: int = DEFAULT_BT, mxu: bool = None) -> PBSKernelPlan:
+    """`mxu=None` resolves from the `MOSFHET_NTT_MXU` env var: the
+    CMUX/step kernels then run their forward-NTT tails on the int8 MXU
+    (`_fwd_ntt_mxu`) instead of lane-roll butterflies."""
+    if mxu is None:
+        import os
+        mxu = bool(os.environ.get("MOSFHET_NTT_MXU"))
+    return _get_kernel_plan(N, primes, l, Bg_bit, k, bt, bool(mxu))
 
 
 # ---------------------------------------------------------------------------
@@ -429,12 +576,70 @@ def _garner_limb32(ts, kp: PBSKernelPlan):
     return lo
 
 
+def _ntt_mul_acc(kp: PBSKernelPlan, dig_ref, keyv_ref, keyvs_ref, spec_ref,
+                 ftw_ref, ftws_ref, liota, mxu_refs):
+    """spec[c, p] += NTT(dig[j]) * key[j, c, p] over all J digit rows.
+
+    Default path: fori_loop over J, lane-roll `_fwd_ntt` per row tile.
+    MXU path (`mxu_refs` = (tw, tws, w) given): one `_fwd_ntt_mxu` over
+    all J*BT rows per prime — the per-block int8 matmuls then contract at
+    M = J*BT >= 128, keeping the MXU's full sublane width busy — followed
+    by a statically unrolled accumulate."""
+    N, P, C, J, bt = kp.N, kp.P, kp.C, kp.J, kp.bt
+    if mxu_refs is not None:
+        tw_ref, tws_ref, w_ref = mxu_refs
+        d_all = dig_ref[:].reshape(J * bt, N)
+        for p_i in range(P):
+            p = kp.primes[p_i]
+            r = jnp.where(d_all < 0, d_all + jnp.int32(p),
+                          d_all).astype(_U32)
+            s_all = _fwd_ntt_mxu(r, ftw_ref[p_i], ftws_ref[p_i],
+                                 tw_ref[p_i], tws_ref[p_i], w_ref[p_i],
+                                 p, kp.s256[p_i], kp.red1[p_i],
+                                 N).reshape(J, bt, N)
+            for j in range(J):
+                for c in range(C):
+                    kv = jnp.broadcast_to(
+                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    ks = jnp.broadcast_to(
+                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                    prod = _shoup_lazy(s_all[j], kv, ks, p)
+                    spec_ref[c, p_i] = _cond_sub(
+                        spec_ref[c, p_i] + prod, 2 * p)
+        return
+
+    def body(j, carry):
+        d = dig_ref[j]                                   # [BT, N] i32
+        for p_i in range(P):
+            p = kp.primes[p_i]
+            r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+            s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
+                          p, N, lazy3=kp.lazy3)
+            for c in range(C):
+                kv = jnp.broadcast_to(
+                    keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                ks = jnp.broadcast_to(
+                    keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                prod = _shoup_lazy(s_, kv, ks, p)        # < 2p
+                spec_ref[c, p_i] = _cond_sub(
+                    spec_ref[c, p_i] + prod, 2 * p)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+
+
 def _make_kernel(kp: PBSKernelPlan):
     N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
     bt = kp.bt
 
     def kernel(rot_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
-               itw_ref, itws_ref, out_ref, dig_ref, spec_ref):
+               itw_ref, itws_ref, *rest):
+        if kp.use_mxu:
+            tw_ref, tws_ref, w_ref, out_ref, dig_ref, spec_ref = rest
+            mxu_refs = (tw_ref, tws_ref, w_ref)
+        else:
+            out_ref, dig_ref, spec_ref = rest
+            mxu_refs = None
         # rot_ref:  [1, 2, C, BT, N] u32  (limb, component, batch, coeff)
         # keyv/s:   [J, C, P, N] u32      (resident across grid)
         # ftw/s:    [P, S, N];  itw/s: [P, S+1, N]
@@ -455,24 +660,8 @@ def _make_kernel(kp: PBSKernelPlan):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
         # -- forward NTT per digit row, multiply-accumulate against key ---
-        def body(j, carry):
-            d = dig_ref[j]                               # [BT, N] i32
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
-                              p, N, lazy3=kp.lazy3)
-                for c in range(C):
-                    kv = jnp.broadcast_to(
-                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    ks = jnp.broadcast_to(
-                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    prod = _shoup_lazy(s_, kv, ks, p)    # < 2p
-                    spec_ref[c, p_i] = _cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
-            return carry
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+        _ntt_mul_acc(kp, dig_ref, keyv_ref, keyvs_ref, spec_ref,
+                     ftw_ref, ftws_ref, liota, mxu_refs)
 
         # -- inverse NTTs + CRT readback ----------------------------------
         for c in range(C):
@@ -499,29 +688,34 @@ def _cmux_delta_tiles(rot_tiles, keyv, keyvs, kp: PBSKernelPlan,
     # NB: index-map constants must be i32 and must not capture tracers —
     # python `0` literals trace to i64 under jax_enable_x64 (Mosaic rejects
     # i64 scalars), so derive an i32 zero from the grid index.
+    in_specs = [
+        pl.BlockSpec((1, 2, C, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, C, P, N),
+                     lambda i: (i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, C, P, N),
+                     lambda i: (i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [rot_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs(kp)
+        args += [kp.mxu_tw, kp.mxu_tws, kp.mxu_w]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, 2, C, bt, N), _U32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 2, C, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, C, P, N),
-                         lambda i: (i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, C, P, N),
-                         lambda i: (i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2, C, bt, N),
                                lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
@@ -530,7 +724,21 @@ def _cmux_delta_tiles(rot_tiles, keyv, keyvs, kp: PBSKernelPlan,
             pltpu.VMEM((C, P, bt, N), _U32),
         ],
         interpret=interpret,
-    )(rot_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws)
+    )(*args)
+
+
+def _mxu_specs(kp: PBSKernelPlan):
+    """BlockSpecs for the (twist, twist-shoup, int8 limb matrix) refs of
+    the MXU forward-NTT tail, replicated across the grid."""
+    N, P = kp.N, kp.P
+    return [
+        pl.BlockSpec((P, N), lambda i: (i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, N), lambda i: (i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, 512, 512), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -592,9 +800,15 @@ def _make_step_kernel(kp: PBSKernelPlan):
     bt = kp.bt
 
     def kernel(acc_ref, a_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
-               itw_ref, itws_ref, out_ref, dig_ref, spec_ref):
+               itw_ref, itws_ref, *rest):
         # acc_ref/out_ref: [1, 2, C, BT, N] u32 limbs of the accumulator
         # a_ref: [1, BT, 1] i32 rotation exponents in [0, 2N]
+        if kp.use_mxu:
+            tw_ref, tws_ref, w_ref, out_ref, dig_ref, spec_ref = rest
+            mxu_refs = (tw_ref, tws_ref, w_ref)
+        else:
+            out_ref, dig_ref, spec_ref = rest
+            mxu_refs = None
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         a_col = a_ref[0]                                   # [BT, 1] i32
 
@@ -628,24 +842,8 @@ def _make_step_kernel(kp: PBSKernelPlan):
             for p in range(P):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-        def body(j, carry):
-            d = dig_ref[j]
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
-                              p, N, lazy3=kp.lazy3)
-                for c in range(C):
-                    kv = jnp.broadcast_to(
-                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    ks = jnp.broadcast_to(
-                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    prod = _shoup_lazy(s_, kv, ks, p)
-                    spec_ref[c, p_i] = _cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
-            return carry
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+        _ntt_mul_acc(kp, dig_ref, keyv_ref, keyvs_ref, spec_ref,
+                     ftw_ref, ftws_ref, liota, mxu_refs)
 
         for c in range(C):
             ts = []
@@ -677,31 +875,37 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
     nl = kp.nl
     S = N.bit_length() - 1
     kernel = _make_step_kernel(kp)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt, 1), lambda i: (i, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, C, P, N),
+                     lambda i: (i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, C, P, N),
+                     lambda i: (i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [acc_tiles, a_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw,
+            kp.itws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs(kp)
+        args += [kp.mxu_tw, kp.mxu_tws, kp.mxu_w]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, nl, C, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, 1), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, C, P, N),
-                         lambda i: (i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, C, P, N),
-                         lambda i: (i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nl, C, bt, N),
                                lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
@@ -713,7 +917,7 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(acc_tiles, a_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws)
+    )(*args)
 
 
 def split_limbs(x, kp: PBSKernelPlan):

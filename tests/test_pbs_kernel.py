@@ -73,6 +73,42 @@ def test_batch_padding_path():
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+@pytest.mark.parametrize("N,k,l,Bg_bit", [
+    (256, 1, 3, 9),
+    (128, 1, 2, 10),   # no head stages: the matmul tail is the whole NTT
+    (512, 2, 2, 8),
+])
+def test_cmux_delta_mxu_tail(N, k, l, Bg_bit):
+    """The MXU forward-NTT tail (per-block twist + shared int8 limb
+    matmul, `_fwd_ntt_mxu`) must leave the CMUX delta bit-identical to
+    the jnp path: the tail's lazy representatives match `_fwd_ntt` mod p
+    and the inverse NTT output is canonical."""
+    C = k + 1
+    J = C * l
+    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), J)
+    primes = _ntt.primes_for_bound(bound)
+    plan = _ntt.get_plan(N, primes)
+    P = plan.P
+    rng = np.random.default_rng(5150 + N)
+    B = 32
+    rot = jnp.asarray(
+        rng.integers(0, 1 << 64, size=(B, C, N), dtype=np.uint64))
+    keyv = jnp.asarray(
+        rng.integers(0, 1 << 62, size=(J, C, P, N), dtype=np.uint64)
+        % np.array(primes, dtype=np.uint64)[None, None, :, None])
+    keyvs = _ntt.make_shoup(keyv, plan.p[:, None])
+    digits = gadget_decompose(rot, Bg_bit, l).reshape(B, J, N)
+    spec = _ntt.to_ntt_small(digits, plan)
+    acc = _ntt.pointwise_mul_acc_key(
+        spec[..., :, None, :, :], keyv, keyvs, plan, axis=-4)
+    want = _ntt.from_ntt_u64(acc, plan)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, mxu=True)
+    assert kp.use_mxu
+    got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
+                        keyvs.astype(jnp.uint32), kp, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 def test_cmux_delta_narrow_primes_lazy3():
     """NARROW_PRIMES (< 2^29) switch the forward NTT to depth-3 lazy
     chains (reduce every third stage, `_fwd_ntt(lazy3=True)`); the final
