@@ -308,6 +308,72 @@ def _inv_ntt(x, itw, itws, liota, p: int, N: int):
     return _exact(_shoup_lazy(x, ninv, ninvs, p), p)
 
 
+def _inv_ntt_mxu(x, itw, itws, ttw, ttws, w, p: int, s256: int, N: int):
+    """Inverse NTT with the sub-128 stage head on the MXU.
+
+    Dual of `_fwd_ntt_mxu`: the inverse's FIRST log2(128) = 7 stages
+    (spans < 128) act block-diagonally on 128-lane blocks, and every
+    block's 128x128 stage-product matrix is a ROW twist of the block-0
+    matrix (transpose of the forward's column-twist factorization,
+    verified exactly at plan build):
+
+        y_b = T_b * (Mi0 @ x_b)   mod p       (per 128-lane block b)
+
+    evaluated with the same int8 byte-limb contraction as the forward.
+    The row twist is free: the recombination's final reduce-by-Shoup
+    multiplies by T_b[o] instead of by 1.  Head stages (spans >= 128)
+    and the 1/N scaling then run exactly as `_inv_ntt`; since that path
+    ends canonical, the output is bit-identical to `_inv_ntt`.
+
+    x: [R, N] u32 in [0, 2p).  ttw/ttws: [N] row-twist (lane b*128+o
+    holds T_b[o]).  w: [512, 512] int8 limb matrix of Mi0.  Output
+    exact in [0, p).
+    """
+    S = N.bit_length() - 1
+    R = x.shape[0]
+    BLK = 128
+    NB = N // BLK
+    # fully reduce so the byte-limb split (adds 0x80808080) fits u32
+    xe = _exact(x, p)
+    outs = []
+    for b in range(NB):
+        xb = xe[:, b * BLK:(b + 1) * BLK] + _U32(0x80808080)
+        X = jnp.concatenate(
+            [(((xb >> _U32(8 * j)) & _U32(255)).astype(jnp.int32)
+              - jnp.int32(128)).astype(jnp.int8) for j in range(4)],
+            axis=1)                                       # [R, 512] i8
+        pm = jax.lax.dot_general(
+            X, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)             # [R, 512] i32
+        q = [(pm[:, i * BLK:(i + 1) * BLK] + jnp.int32(p)).astype(_U32)
+             for i in range(4)]
+        t_ = q[3]
+        for i in (2, 1, 0):
+            t_ = _shoup_lazy(t_, _U32(256), _U32(s256), p) + q[i]
+        # final reduction doubles as the per-block row twist
+        twb = jnp.broadcast_to(ttw[None, b * BLK:(b + 1) * BLK], (R, BLK))
+        twsb = jnp.broadcast_to(ttws[None, b * BLK:(b + 1) * BLK], (R, BLK))
+        outs.append(_shoup_lazy(t_, twb, twsb, p))
+    x = jnp.concatenate(outs, axis=1)
+    # head stages, spans >= 128: tile-sliced butterflies as in _inv_ntt
+    for s in range(7, S):
+        t = 1 << s
+        m = N >> (s + 1)
+        parts = []
+        for b in range(m):
+            base = b * 2 * t
+            u = x[:, base:base + t]
+            v = x[:, base + t:base + 2 * t]
+            tw = jnp.broadcast_to(itw[s:s + 1, base:base + t], u.shape)
+            tws = jnp.broadcast_to(itws[s:s + 1, base:base + t], u.shape)
+            parts.append(_cond_sub(u + v, 2 * p))
+            parts.append(_shoup_lazy(u + _U32(2 * p) - v, tw, tws, p))
+        x = jnp.concatenate(parts, axis=1)
+    ninv = jnp.broadcast_to(itw[S:S + 1, :], x.shape)
+    ninvs = jnp.broadcast_to(itws[S:S + 1, :], x.shape)
+    return _exact(_shoup_lazy(x, ninv, ninvs, p), p)
+
+
 # ---------------------------------------------------------------------------
 # Kernel plan: precomputed tables + static config
 # ---------------------------------------------------------------------------
@@ -476,6 +542,49 @@ class PBSKernelPlan:
         self.mxu_w = jnp.asarray(W)
         self.s256 = [((256 << 32) // p) for p in self.primes]
 
+        # ---- inverse tail: the FIRST 7 stages (spans < 128) are likewise
+        # block-diagonal; mirror `_inv_ntt`'s stage math on the same basis
+        # and verify the transposed (ROW twist) factorization
+        # Mi_b = diag(T_b) @ Mi_0 exactly.
+        itw_np = np.asarray(self.itw, np.uint64)             # [P, S+1, N]
+        x = basis
+        for s in range(7):
+            t = 1 << s
+            g = N // (2 * t)
+            xr = x.reshape(-1, P, g, 2, t)
+            U, V = xr[:, :, :, 0, :], xr[:, :, :, 1, :]
+            twv = itw_np[:, s].reshape(1, P, g, 2, t)[:, :, :, 1, :]
+            x = np.stack([(U + V) % pp, ((U + pp - V) * twv) % pp],
+                         axis=3).reshape(-1, P, N)
+        Mi = x.reshape(BLK, P, NB, BLK).transpose(2, 1, 3, 0)
+
+        itwist = np.zeros((P, N), np.uint32)
+        itwists = np.zeros((P, N), np.uint32)
+        Wi = np.zeros((P, 4 * BLK, 4 * BLK), np.int8)
+        for p_i, p in enumerate(self.primes):
+            inv0 = np.array(
+                [pow(int(v), p - 2, p) for v in Mi[0, p_i, :, 0]],
+                dtype=np.uint64)
+            for b in range(NB):
+                T = (Mi[b, p_i, :, 0] * inv0) % p            # [BLK] rows
+                assert np.array_equal((Mi[0, p_i] * T[:, None]) % p,
+                                      Mi[b, p_i]), \
+                    "inverse tail twist factorization violated"
+                itwist[p_i, b * BLK:(b + 1) * BLK] = T
+                itwists[p_i, b * BLK:(b + 1) * BLK] = (
+                    (T.astype(object) << 32) // p).astype(np.uint64)
+            M0 = Mi[0, p_i].astype(np.int64)
+            for j in range(4):
+                Mj = (M0 << (8 * j)) % p
+                Moff = Mj + 0x80808080
+                for i in range(4):
+                    D = ((Moff >> (8 * i)) & 255) - 128
+                    Wi[p_i, j * BLK:(j + 1) * BLK,
+                       i * BLK:(i + 1) * BLK] = D.T.astype(np.int8)
+        self.mxu_itwr = jnp.asarray(itwist)
+        self.mxu_itwrs = jnp.asarray(itwists)
+        self.mxu_iw = jnp.asarray(Wi)
+
 
 @functools.lru_cache(maxsize=None)
 def _get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
@@ -587,7 +696,7 @@ def _ntt_mul_acc(kp: PBSKernelPlan, dig_ref, keyv_ref, keyvs_ref, spec_ref,
     by a statically unrolled accumulate."""
     N, P, C, J, bt = kp.N, kp.P, kp.C, kp.J, kp.bt
     if mxu_refs is not None:
-        tw_ref, tws_ref, w_ref = mxu_refs
+        tw_ref, tws_ref, w_ref = mxu_refs[:3]
         d_all = dig_ref[:].reshape(J * bt, N)
         for p_i in range(P):
             p = kp.primes[p_i]
@@ -628,6 +737,31 @@ def _ntt_mul_acc(kp: PBSKernelPlan, dig_ref, keyv_ref, keyvs_ref, spec_ref,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
 
 
+def _inv_ntts(kp: PBSKernelPlan, spec_ref, itw_ref, itws_ref, liota,
+              mxu_refs):
+    """Inverse NTTs of all C*P spectra -> ts[c][p_i], exact in [0, p).
+
+    MXU path: one `_inv_ntt_mxu` over the C components concatenated on
+    sublanes per prime (R = C*BT rows per int8 contraction)."""
+    N, P, C, bt = kp.N, kp.P, kp.C, kp.bt
+    if mxu_refs is not None:
+        itwr_ref, itwrs_ref, iw_ref = mxu_refs[3], mxu_refs[4], mxu_refs[5]
+        out = [[None] * P for _ in range(C)]
+        for p_i in range(P):
+            p = kp.primes[p_i]
+            xs = jnp.concatenate([spec_ref[c, p_i] for c in range(C)],
+                                 axis=0)
+            y = _inv_ntt_mxu(xs, itw_ref[p_i], itws_ref[p_i],
+                             itwr_ref[p_i], itwrs_ref[p_i], iw_ref[p_i],
+                             p, kp.s256[p_i], N)
+            for c in range(C):
+                out[c][p_i] = y[c * bt:(c + 1) * bt]
+        return out
+    return [[_inv_ntt(spec_ref[c, p_i], itw_ref[p_i], itws_ref[p_i],
+                      liota, kp.primes[p_i], N) for p_i in range(P)]
+            for c in range(C)]
+
+
 def _make_kernel(kp: PBSKernelPlan):
     N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
     bt = kp.bt
@@ -635,8 +769,8 @@ def _make_kernel(kp: PBSKernelPlan):
     def kernel(rot_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
                itw_ref, itws_ref, *rest):
         if kp.use_mxu:
-            tw_ref, tws_ref, w_ref, out_ref, dig_ref, spec_ref = rest
-            mxu_refs = (tw_ref, tws_ref, w_ref)
+            mxu_refs = tuple(rest[:6])
+            out_ref, dig_ref, spec_ref = rest[6:]
         else:
             out_ref, dig_ref, spec_ref = rest
             mxu_refs = None
@@ -664,13 +798,10 @@ def _make_kernel(kp: PBSKernelPlan):
                      ftw_ref, ftws_ref, liota, mxu_refs)
 
         # -- inverse NTTs + CRT readback ----------------------------------
+        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                           mxu_refs)
         for c in range(C):
-            ts = []
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
-                                   itws_ref[p_i], liota, p, N))
-            lo, hi = _garner_limbs(ts, kp)
+            lo, hi = _garner_limbs(ts_all[c], kp)
             out_ref[0, 0, c] = lo
             out_ref[0, 1, c] = hi
 
@@ -710,7 +841,7 @@ def _cmux_delta_tiles(rot_tiles, keyv, keyvs, kp: PBSKernelPlan,
     args = [rot_tiles, keyv, keyvs, kp.ftw, kp.ftws, kp.itw, kp.itws]
     if kp.use_mxu:
         in_specs += _mxu_specs(kp)
-        args += [kp.mxu_tw, kp.mxu_tws, kp.mxu_w]
+        args += _mxu_args(kp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, 2, C, bt, N), _U32),
@@ -728,17 +859,20 @@ def _cmux_delta_tiles(rot_tiles, keyv, keyvs, kp: PBSKernelPlan,
 
 
 def _mxu_specs(kp: PBSKernelPlan):
-    """BlockSpecs for the (twist, twist-shoup, int8 limb matrix) refs of
-    the MXU forward-NTT tail, replicated across the grid."""
+    """BlockSpecs for the MXU-tail refs, replicated across the grid:
+    forward (column twist, its shoup, int8 limb matrix) then inverse
+    (row twist, its shoup, int8 limb matrix)."""
     N, P = kp.N, kp.P
-    return [
-        pl.BlockSpec((P, N), lambda i: (i * 0, i * 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((P, N), lambda i: (i * 0, i * 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((P, 512, 512), lambda i: (i * 0, i * 0, i * 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    row = pl.BlockSpec((P, N), lambda i: (i * 0, i * 0),
+                       memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((P, 512, 512), lambda i: (i * 0, i * 0, i * 0),
+                       memory_space=pltpu.VMEM)
+    return [row, row, mat, row, row, mat]
+
+
+def _mxu_args(kp: PBSKernelPlan):
+    return [kp.mxu_tw, kp.mxu_tws, kp.mxu_w,
+            kp.mxu_itwr, kp.mxu_itwrs, kp.mxu_iw]
 
 
 # ---------------------------------------------------------------------------
@@ -804,8 +938,8 @@ def _make_step_kernel(kp: PBSKernelPlan):
         # acc_ref/out_ref: [1, 2, C, BT, N] u32 limbs of the accumulator
         # a_ref: [1, BT, 1] i32 rotation exponents in [0, 2N]
         if kp.use_mxu:
-            tw_ref, tws_ref, w_ref, out_ref, dig_ref, spec_ref = rest
-            mxu_refs = (tw_ref, tws_ref, w_ref)
+            mxu_refs = tuple(rest[:6])
+            out_ref, dig_ref, spec_ref = rest[6:]
         else:
             out_ref, dig_ref, spec_ref = rest
             mxu_refs = None
@@ -845,12 +979,10 @@ def _make_step_kernel(kp: PBSKernelPlan):
         _ntt_mul_acc(kp, dig_ref, keyv_ref, keyvs_ref, spec_ref,
                      ftw_ref, ftws_ref, liota, mxu_refs)
 
+        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                           mxu_refs)
         for c in range(C):
-            ts = []
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
-                                   itws_ref[p_i], liota, p, N))
+            ts = ts_all[c]
             if kp.nl == 1:
                 dlo = _garner_limb32(ts, kp)
                 out_ref[0, 0, c] = acc[c][0] + dlo      # mod 2^32
@@ -900,7 +1032,7 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
             kp.itws]
     if kp.use_mxu:
         in_specs += _mxu_specs(kp)
-        args += [kp.mxu_tw, kp.mxu_tws, kp.mxu_w]
+        args += _mxu_args(kp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),

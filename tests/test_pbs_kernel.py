@@ -109,6 +109,40 @@ def test_cmux_delta_mxu_tail(N, k, l, Bg_bit):
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_blind_rotate_scan_mxu():
+    """The full fused-step scan under the MXU plan (forward tail as int8
+    matmul, inverse head likewise with the row twist folded into the
+    final reduction) must be bit-identical to the default lane-roll
+    plan."""
+    N, k, l, Bg_bit, n = 256, 1, 2, 9, 5
+    C = k + 1
+    J = C * l
+    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), J)
+    primes = _ntt.primes_for_bound(bound)
+    plan = _ntt.get_plan(N, primes)
+    P = plan.P
+    rng = np.random.default_rng(77)
+    B = 32
+    acc0 = jnp.asarray(
+        rng.integers(0, 1 << 64, size=(B, C, N), dtype=np.uint64))
+    a_int = jnp.asarray(
+        rng.integers(0, 2 * N + 1, size=(n, B), dtype=np.int32))
+    keyv = jnp.asarray(
+        rng.integers(0, 1 << 62, size=(n, J, C, P, N), dtype=np.uint64)
+        % np.array(primes, dtype=np.uint64)[None, None, None, :, None])
+    keyvs = _ntt.make_shoup(keyv, plan.p[:, None])
+    v32, vs32 = keyv.astype(jnp.uint32), keyvs.astype(jnp.uint32)
+
+    kp0 = pk.get_kernel_plan(N, primes, l, Bg_bit, k, mxu=False)
+    kp1 = pk.get_kernel_plan(N, primes, l, Bg_bit, k, mxu=True)
+    assert kp1.use_mxu and not kp0.use_mxu
+    want = pk.blind_rotate_scan(acc0, a_int, v32, vs32, kp0,
+                                interpret=True)
+    got = pk.blind_rotate_scan(acc0, a_int, v32, vs32, kp1,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 def test_cmux_delta_narrow_primes_lazy3():
     """NARROW_PRIMES (< 2^29) switch the forward NTT to depth-3 lazy
     chains (reduce every third stage, `_fwd_ntt(lazy3=True)`); the final
