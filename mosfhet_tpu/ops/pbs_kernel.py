@@ -875,6 +875,17 @@ def _mxu_args(kp: PBSKernelPlan):
             kp.mxu_itwr, kp.mxu_itwrs, kp.mxu_iw]
 
 
+def _mxu_specs3(kp: PBSKernelPlan):
+    """As `_mxu_specs`, for kernels on a 3-axis grid."""
+    N, P = kp.N, kp.P
+    row = pl.BlockSpec((P, N), lambda b, g, m: (b * 0, b * 0),
+                       memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((P, 512, 512),
+                       lambda b, g, m: (b * 0, b * 0, b * 0),
+                       memory_space=pltpu.VMEM)
+    return [row, row, mat, row, row, mat]
+
+
 # ---------------------------------------------------------------------------
 # Fully-fused blind-rotate step: acc += BK (x) ((X^a - 1) * acc)
 # ---------------------------------------------------------------------------
@@ -1357,10 +1368,22 @@ def _make_apply_kernel(kp: PBSKernelPlan, per_row: bool):
     bt = kp.bt
 
     def kernel(acc_ref, keyv_ref, ftw_ref, ftws_ref, itw_ref, itws_ref,
-               out_ref, dig_ref, spec_ref):
+               *rest):
         # acc_ref/out_ref: [1, nl, C, BT, N] u32
         # keyv_ref: [1, J, C, P, BT, N] (per_row) or [J, C, P, N] (broadcast)
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            out_ref, dig_ref, spec_ref = rest[6:]
+        else:
+            out_ref, dig_ref, spec_ref = rest
+            mxu_refs = None
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+
+        def key_row(j, c, p_i):
+            if per_row:
+                return keyv_ref[0, j, c, p_i]                # [BT, N]
+            return jnp.broadcast_to(
+                keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
 
         acc_limbs = []
         for c in range(C):
@@ -1373,31 +1396,45 @@ def _make_apply_kernel(kp: PBSKernelPlan, per_row: bool):
             for p in range(P):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-        def body(j, carry):
-            d = dig_ref[j]
+        if mxu_refs is not None:
+            tw_ref, tws_ref, w_ref = mxu_refs[:3]
+            d_all = dig_ref[:].reshape(J * bt, N)
             for p_i in range(P):
                 p = kp.primes[p_i]
-                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
-                for c in range(C):
-                    if per_row:
-                        kv = keyv_ref[0, j, c, p_i]          # [BT, N]
-                    else:
-                        kv = jnp.broadcast_to(
-                            keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
-                    spec_ref[c, p_i] = _cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
-            return carry
+                r = jnp.where(d_all < 0, d_all + jnp.int32(p),
+                              d_all).astype(_U32)
+                s_all = _fwd_ntt_mxu(
+                    r, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
+                    tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
+                    kp.red1[p_i], N).reshape(J, bt, N)
+                for j in range(J):
+                    for c in range(C):
+                        prod = _barrett_lazy(s_all[j], key_row(j, c, p_i),
+                                             p, kp.mup[p_i])
+                        spec_ref[c, p_i] = _cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+        else:
+            def body(j, carry):
+                d = dig_ref[j]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                    s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
+                                  p, N)
+                    for c in range(C):
+                        prod = _barrett_lazy(s_, key_row(j, c, p_i), p,
+                                             kp.mup[p_i])
+                        spec_ref[c, p_i] = _cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+                return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body,
+                              jnp.int32(0))
 
+        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                           mxu_refs)
         for c in range(C):
-            ts = []
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
-                                   itws_ref[p_i], liota, p, N))
+            ts = ts_all[c]
             if kp.nl == 1:
                 out_ref[0, 0, c] = _garner_limb32(ts, kp)
                 continue
@@ -1427,24 +1464,29 @@ def _apply_step_tiles(acc_tiles, key_g, kp: PBSKernelPlan, per_row: bool,
         key_spec = pl.BlockSpec(
             (J, C, P, N), lambda i: (i * 0, i * 0, i * 0, i * 0),
             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        key_spec,
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [acc_tiles, key_g, kp.ftw, kp.ftws, kp.itw, kp.itws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs(kp)
+        args += _mxu_args(kp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, nl, C, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            key_spec,
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nl, C, bt, N),
                                lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
@@ -1456,7 +1498,7 @@ def _apply_step_tiles(acc_tiles, key_g, kp: PBSKernelPlan, per_row: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(acc_tiles, key_g, kp.ftw, kp.ftws, kp.itw, kp.itws)
+    )(*args)
 
 
 def ext_product_apply_scan(acc0, sa32, kp: PBSKernelPlan,
@@ -2069,8 +2111,13 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
         if nl == 2:
             su_hi_ref = refs[i]
             i += 1
-        (rot_ref, ftw_ref, ftws_ref, itw_ref, itws_ref, out_ref,
-         comb_ref, keyspec_ref, dig_ref, spec_ref) = refs[i:i + 10]
+        (rot_ref, ftw_ref, ftws_ref, itw_ref, itws_ref) = refs[i:i + 5]
+        i += 5
+        mxu_refs = None
+        if kp.use_mxu:
+            mxu_refs = tuple(refs[i:i + 6])
+            i += 6
+        (out_ref, comb_ref, keyspec_ref, dig_ref, spec_ref) = refs[i:i + 5]
         g = pl.program_id(1)
         m = pl.program_id(2)
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
@@ -2107,17 +2154,37 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
         @pl.when(m == M - 1)
         def _apply():
             # combined TRGSW -> exact NTT-domain key
-            for r in range(J):
-                for c in range(C):
-                    jc = r * C + c
-                    lo = comb_ref[jc, 0]
-                    hi = comb_ref[jc, 1] if nl == 2 else None
-                    for p_i in range(P):
-                        p = kp.primes[p_i]
-                        resi = _limbs_to_resi(lo, hi, kp, p_i)
-                        keyspec_ref[r, c, p_i] = _exact(
-                            _fwd_ntt(resi, ftw_ref[p_i], ftws_ref[p_i],
-                                     liota, p, N), p)
+            if mxu_refs is not None:
+                tw_ref, tws_ref, w_ref = mxu_refs[:3]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    rows = []
+                    for jc in range(JC):
+                        rows.append(_limbs_to_resi(
+                            comb_ref[jc, 0],
+                            comb_ref[jc, 1] if nl == 2 else None,
+                            kp, p_i))
+                    yall = _fwd_ntt_mxu(
+                        jnp.concatenate(rows, axis=0), ftw_ref[p_i],
+                        ftws_ref[p_i], tw_ref[p_i], tws_ref[p_i],
+                        w_ref[p_i], p, kp.s256[p_i], kp.red1[p_i], N)
+                    for r in range(J):
+                        for c in range(C):
+                            jc = r * C + c
+                            keyspec_ref[r, c, p_i] = _exact(
+                                yall[jc * bt:(jc + 1) * bt], p)
+            else:
+                for r in range(J):
+                    for c in range(C):
+                        jc = r * C + c
+                        lo = comb_ref[jc, 0]
+                        hi = comb_ref[jc, 1] if nl == 2 else None
+                        for p_i in range(P):
+                            p = kp.primes[p_i]
+                            resi = _limbs_to_resi(lo, hi, kp, p_i)
+                            keyspec_ref[r, c, p_i] = _exact(
+                                _fwd_ntt(resi, ftw_ref[p_i], ftws_ref[p_i],
+                                         liota, p, N), p)
             # external product against the live accumulator (replace mode)
             acc_limbs = []
             for c in range(C):
@@ -2129,28 +2196,47 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
                 for p in range(P):
                     spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-            def body(j, carry):
-                d = dig_ref[j]
+            if mxu_refs is not None:
+                tw_ref, tws_ref, w_ref = mxu_refs[:3]
+                d_all = dig_ref[:].reshape(J * bt, N)
                 for p_i in range(P):
                     p = kp.primes[p_i]
-                    rr = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                    s_ = _fwd_ntt(rr, ftw_ref[p_i], ftws_ref[p_i], liota,
-                                  p, N)
-                    for c in range(C):
-                        kv = keyspec_ref[j, c, p_i]
-                        prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
-                        spec_ref[c, p_i] = _cond_sub(
-                            spec_ref[c, p_i] + prod, 2 * p)
-                return carry
+                    rr = jnp.where(d_all < 0, d_all + jnp.int32(p),
+                                   d_all).astype(_U32)
+                    s_all = _fwd_ntt_mxu(
+                        rr, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
+                        tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
+                        kp.red1[p_i], N).reshape(J, bt, N)
+                    for j in range(J):
+                        for c in range(C):
+                            prod = _barrett_lazy(
+                                s_all[j], keyspec_ref[j, c, p_i], p,
+                                kp.mup[p_i])
+                            spec_ref[c, p_i] = _cond_sub(
+                                spec_ref[c, p_i] + prod, 2 * p)
+            else:
+                def body(j, carry):
+                    d = dig_ref[j]
+                    for p_i in range(P):
+                        p = kp.primes[p_i]
+                        rr = jnp.where(d < 0, d + jnp.int32(p),
+                                       d).astype(_U32)
+                        s_ = _fwd_ntt(rr, ftw_ref[p_i], ftws_ref[p_i],
+                                      liota, p, N)
+                        for c in range(C):
+                            kv = keyspec_ref[j, c, p_i]
+                            prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
+                            spec_ref[c, p_i] = _cond_sub(
+                                spec_ref[c, p_i] + prod, 2 * p)
+                    return carry
 
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body,
+                                  jnp.int32(0))
 
+            ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                               mxu_refs)
             for c in range(C):
-                ts = []
-                for p_i in range(P):
-                    p = kp.primes[p_i]
-                    ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
-                                       itws_ref[p_i], liota, p, N))
+                ts = ts_all[c]
                 if nl == 1:
                     out_ref[0, 0, c] = _garner_limb32(ts, kp)
                     continue
@@ -2183,31 +2269,36 @@ def unfolded_rotate(acc0, rot, su_planes, kp: PBSKernelPlan,
     su_spec = pl.BlockSpec(
         (1, 1, JC, N), lambda b, g, m: (g, m, b * 0, b * 0),
         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N),
+                     lambda b, g, m: (b, b * 0, b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+    ] + [su_spec] * nl + [
+        pl.BlockSpec((1, 1, 1, bt, 1),
+                     lambda b, g, m: (b, g, m, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N),
+                     lambda b, g, m: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N),
+                     lambda b, g, m: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N),
+                     lambda b, g, m: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N),
+                     lambda b, g, m: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [tiles, *sus, rot_t, kp.ftw, kp.ftws, kp.itw, kp.itws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs3(kp)
+        args += _mxu_args(kp)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
         grid=(nb, G, M),
-        in_specs=[
-            pl.BlockSpec((1, nl, C, bt, N),
-                         lambda b, g, m: (b, b * 0, b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-        ] + [su_spec] * nl + [
-            pl.BlockSpec((1, 1, 1, bt, 1),
-                         lambda b, g, m: (b, g, m, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N),
-                         lambda b, g, m: (b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N),
-                         lambda b, g, m: (b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N),
-                         lambda b, g, m: (b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N),
-                         lambda b, g, m: (b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, nl, C, bt, N),
             lambda b, g, m: (b, g * 0, g * 0, g * 0, g * 0),
@@ -2222,7 +2313,7 @@ def unfolded_rotate(acc0, rot, su_planes, kp: PBSKernelPlan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, *sus, rot_t, kp.ftw, kp.ftws, kp.itw, kp.itws)
+    )(*args)
     return merge_limbs(out)
 
 

@@ -129,6 +129,41 @@ def test_ubr_phase2_kernel_bit_exact():
     assert err.max() <= float(1 << 58)
 
 
+def test_unfolded_and_apply_kernels_mxu(monkeypatch):
+    """Unfolded rotate + UBR phase-2 apply kernels under the MXU plan
+    (`MOSFHET_NTT_MXU=1`: forward tails + inverse heads on the int8
+    matmul path) stay bit-identical to the jnp paths."""
+    u = 2
+    key_tlwe, key_out, bk = setup(70, unfolding=u)
+    luts = rng.uniform_torus(jax.random.fold_in(KEY, 71), (4,))
+    tv = trlwe.torus_packing(luts, P_UNFOLD.k, P_UNFOLD.N)
+    ms = torus.double2torus(jnp.arange(3) % 4 / 8.0)
+    cs = tlwe.encrypt(ms, key_tlwe, jax.random.fold_in(KEY, 72))
+    log_N2 = P_UNFOLD.log_N2
+    b_int = torus.torus2int(
+        cs.b + bootstrap._prec_offset(4), log_N2).astype(jnp.int32)
+    acc = trlwe.mul_by_xai(tv, 2 * P_UNFOLD.N - b_int)
+    want = bootstrap.blind_rotate_unfolded(acc, cs.a, bk, impl="jnp")
+
+    c1 = tlwe.encrypt(torus.double2torus(1 / 8.0), key_tlwe,
+                      jax.random.fold_in(KEY, 73))
+    sa = bootstrap.multivalue_bootstrap_UBR_phase1(c1, bk, impl="jnp")
+    luts2 = rng.uniform_torus(jax.random.fold_in(KEY, 74), (3, 4))
+    tv2 = trlwe.torus_packing(luts2, P_UNFOLD.k, P_UNFOLD.N)
+    want2 = bootstrap.multivalue_bootstrap_UBR_phase2(
+        tv2, c1, sa, bk, 4, impl="jnp")
+
+    monkeypatch.setenv("MOSFHET_NTT_MXU", "1")
+    got = bootstrap.blind_rotate_unfolded(acc, cs.a, bk,
+                                          impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    got2 = bootstrap.multivalue_bootstrap_UBR_phase2(
+        tv2, c1, sa, bk, 4, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want2.a), np.asarray(got2.a))
+    np.testing.assert_array_equal(np.asarray(want2.b), np.asarray(got2.b))
+
+
 def test_unfolded_bootstrap_e2e_kernel():
     """functional_bootstrap through the fused unfolded kernel decrypts."""
     u = 4
