@@ -1668,8 +1668,14 @@ def _make_auto_ks_kernel(kp: PBSKernelPlan):
     bt, nl = kp.bt, kp.nl
 
     def kernel(perm_ref, keyv_ref, ftw_ref, ftws_ref, itw_ref, itws_ref,
-               out_ref, dig_ref, spec_ref):
+               *rest):
         # perm_ref/out_ref: [1, nl, C, BT, N]; keyv_ref: [1, Jk, C, P, BT, N]
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            out_ref, dig_ref, spec_ref = rest[6:]
+        else:
+            out_ref, dig_ref, spec_ref = rest
+            mxu_refs = None
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         for c in range(k_in):
             alo = perm_ref[0, 0, c]
@@ -1690,27 +1696,46 @@ def _make_auto_ks_kernel(kp: PBSKernelPlan):
             for p in range(P):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-        def body(j, carry):
-            d = dig_ref[j]
+        if mxu_refs is not None:
+            tw_ref, tws_ref, w_ref = mxu_refs[:3]
+            d_all = dig_ref[:].reshape(Jk * bt, N)
             for p_i in range(P):
                 p = kp.primes[p_i]
-                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
-                for c in range(C):
-                    kv = keyv_ref[0, j, c, p_i]          # [BT, N]
-                    prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
-                    spec_ref[c, p_i] = _cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
-            return carry
+                r = jnp.where(d_all < 0, d_all + jnp.int32(p),
+                              d_all).astype(_U32)
+                s_all = _fwd_ntt_mxu(
+                    r, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
+                    tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
+                    kp.red1[p_i], N).reshape(Jk, bt, N)
+                for j in range(Jk):
+                    for c in range(C):
+                        prod = _barrett_lazy(
+                            s_all[j], keyv_ref[0, j, c, p_i], p,
+                            kp.mup[p_i])
+                        spec_ref[c, p_i] = _cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+        else:
+            def body(j, carry):
+                d = dig_ref[j]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                    s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
+                                  p, N)
+                    for c in range(C):
+                        kv = keyv_ref[0, j, c, p_i]          # [BT, N]
+                        prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
+                        spec_ref[c, p_i] = _cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+                return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body, jnp.int32(0))
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body,
+                              jnp.int32(0))
 
+        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                           mxu_refs)
         for c in range(C):
-            ts = []
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
-                                   itws_ref[p_i], liota, p, N))
+            ts = ts_all[c]
             if nl == 1:
                 dlo = _garner_limb32(ts, kp)
                 base = perm_ref[0, 0, c] if c == k_in else _U32(0)
@@ -1748,26 +1773,31 @@ def auto_keyswitch(perm, key_rows, kp: PBSKernelPlan,
     keyt = key_rows.reshape(nb, bt, Jk, C, P, N) \
                    .transpose(0, 2, 3, 4, 1, 5)      # [nb, Jk, C, P, BT, N]
     kernel = _make_auto_ks_kernel(kp)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Jk, C, P, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [tiles, keyt, kp.ftw, kp.ftws, kp.itw, kp.itws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs(kp)
+        args += _mxu_args(kp)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, nl, C, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Jk, C, P, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nl, C, bt, N),
                                lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
@@ -1778,7 +1808,7 @@ def auto_keyswitch(perm, key_rows, kp: PBSKernelPlan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, keyt, kp.ftw, kp.ftws, kp.itw, kp.itws)
+    )(*args)
     return merge_limbs(out)
 
 
@@ -1797,11 +1827,16 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
     bt, nl = kp.bt, kp.nl
 
     def kernel(kidx_ref, perm_ref, ak_ref, ftw_ref, ftws_ref,
-               itw_ref, itws_ref, out_ref, dig_ref, spec_ref,
-               key_scr, sems):
+               itw_ref, itws_ref, *rest):
         # kidx_ref: [B] i32 (scalar prefetch); ak_ref: [G, Jk, C, P, N]
         # u32 in HBM (ANY); key_scr: [Jk, C, P, bt, N] VMEM;
         # sems: [bt] DMA semaphores
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            out_ref, dig_ref, spec_ref, key_scr, sems = rest[6:]
+        else:
+            out_ref, dig_ref, spec_ref, key_scr, sems = rest
+            mxu_refs = None
         i = pl.program_id(0)
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
 
@@ -1836,27 +1871,46 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
         for cp in copies:
             cp.wait()
 
-        def body(j, carry):
-            d = dig_ref[j]
+        if mxu_refs is not None:
+            tw_ref, tws_ref, w_ref = mxu_refs[:3]
+            d_all = dig_ref[:].reshape(Jk * bt, N)
             for p_i in range(P):
                 p = kp.primes[p_i]
-                r_ = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r_, ftw_ref[p_i], ftws_ref[p_i], liota, p, N)
-                for c in range(C):
-                    kv = key_scr[j, c, p_i]              # [BT, N]
-                    prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
-                    spec_ref[c, p_i] = _cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
-            return carry
+                r_ = jnp.where(d_all < 0, d_all + jnp.int32(p),
+                               d_all).astype(_U32)
+                s_all = _fwd_ntt_mxu(
+                    r_, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
+                    tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
+                    kp.red1[p_i], N).reshape(Jk, bt, N)
+                for j in range(Jk):
+                    for c in range(C):
+                        prod = _barrett_lazy(
+                            s_all[j], key_scr[j, c, p_i], p, kp.mup[p_i])
+                        spec_ref[c, p_i] = _cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+        else:
+            def body(j, carry):
+                d = dig_ref[j]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    r_ = jnp.where(d < 0, d + jnp.int32(p),
+                                   d).astype(_U32)
+                    s_ = _fwd_ntt(r_, ftw_ref[p_i], ftws_ref[p_i], liota,
+                                  p, N)
+                    for c in range(C):
+                        kv = key_scr[j, c, p_i]              # [BT, N]
+                        prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
+                        spec_ref[c, p_i] = _cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+                return carry
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body, jnp.int32(0))
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body,
+                              jnp.int32(0))
 
+        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                           mxu_refs)
         for c in range(C):
-            ts = []
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                ts.append(_inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
-                                   itws_ref[p_i], liota, p, N))
+            ts = ts_all[c]
             if nl == 1:
                 dlo = _garner_limb32(ts, kp)
                 base = perm_ref[0, 0, c] if c == k_in else _U32(0)
@@ -1893,22 +1947,31 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
     nb = B // bt
     tiles = split_limbs(perm, kp)
     kernel = _make_auto_ks_stream_kernel(kp)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N),
+                     lambda i, k_ref: (i, i * 0, i * 0, i * 0, i * 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((P, S, N),
+                     lambda i, k_ref: (i * 0, i * 0, i * 0)),
+        pl.BlockSpec((P, S, N),
+                     lambda i, k_ref: (i * 0, i * 0, i * 0)),
+        pl.BlockSpec((P, S + 1, N),
+                     lambda i, k_ref: (i * 0, i * 0, i * 0)),
+        pl.BlockSpec((P, S + 1, N),
+                     lambda i, k_ref: (i * 0, i * 0, i * 0)),
+    ]
+    args = [kidx.astype(jnp.int32), tiles, ak32, kp.ftw, kp.ftws, kp.itw,
+            kp.itws]
+    if kp.use_mxu:
+        row = pl.BlockSpec((P, N), lambda i, k_ref: (i * 0, i * 0))
+        mat = pl.BlockSpec((P, 512, 512),
+                           lambda i, k_ref: (i * 0, i * 0, i * 0))
+        in_specs += [row, row, mat, row, row, mat]
+        args += _mxu_args(kp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, nl, C, bt, N),
-                         lambda i, k_ref: (i, i * 0, i * 0, i * 0, i * 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((P, S, N),
-                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
-            pl.BlockSpec((P, S, N),
-                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
-            pl.BlockSpec((P, S + 1, N),
-                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
-            pl.BlockSpec((P, S + 1, N),
-                         lambda i, k_ref: (i * 0, i * 0, i * 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, nl, C, bt, N),
             lambda i, k_ref: (i, i * 0, i * 0, i * 0, i * 0)),
@@ -1926,8 +1989,7 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(kidx.astype(jnp.int32), tiles, ak32, kp.ftw, kp.ftws, kp.itw,
-      kp.itws)
+    )(*args)
     return merge_limbs(out)
 
 

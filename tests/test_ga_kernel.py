@@ -20,6 +20,32 @@ P_GA = params.TFHEParams(
 )
 
 
+def test_ga_kernel_mxu(monkeypatch):
+    """GA kernel path under MOSFHET_NTT_MXU=1 (int8-matmul NTT tails in
+    cmux_delta and both auto-keyswitch kernels) stays bit-identical to
+    the jnp path, on the DMA-stream and gather key routes."""
+    kk = jax.random.split(jax.random.fold_in(KEY, 9), 5)
+    kt = tlwe.new_binary_key(kk[0], P_GA.n, P_GA.lwe_sigma)
+    kr = trlwe.new_binary_key(kk[1], P_GA.N, P_GA.k, P_GA.rlwe_sigma)
+    gk = trgsw.new_key(kr, P_GA.l, P_GA.Bg_bit)
+    bkg = bootstrap_ga.new_key(kk[2], gk, kt)
+    luts = rng.uniform_torus(kk[3], (4,))
+    tv = trlwe.torus_packing(luts, P_GA.k, P_GA.N)
+    ms = torus.double2torus(jnp.arange(2) / 8.0)
+    cs = tlwe.encrypt(ms, kt, kk[4])
+    want = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg, impl="jnp")
+    monkeypatch.setenv("MOSFHET_NTT_MXU", "1")
+    got = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
+                                       impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))
+    monkeypatch.setenv("MOSFHET_GA_STREAM", "0")
+    got2 = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
+                                        impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got2.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got2.b))
+
+
 def test_ga_kernel_bit_exact():
     kk = jax.random.split(KEY, 5)
     kt = tlwe.new_binary_key(kk[0], P_GA.n, P_GA.lwe_sigma)
