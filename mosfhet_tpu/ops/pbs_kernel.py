@@ -2019,7 +2019,13 @@ def _make_phase1_kernel(kp: PBSKernelPlan, M: int):
         if nl == 2:
             su_hi_ref = refs[i]
             i += 1
-        rot_ref, ftw_ref, ftws_ref, out_ref, comb_ref = refs[i:i + 5]
+        rot_ref, ftw_ref, ftws_ref = refs[i:i + 3]
+        i += 3
+        mxu_refs = None
+        if kp.use_mxu:
+            mxu_refs = tuple(refs[i:i + 6])
+            i += 6
+        out_ref, comb_ref = refs[i:i + 2]
         m = pl.program_id(2)
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         rot_col = rot_ref[0, 0, 0]                        # [GT, 1] i32
@@ -2047,17 +2053,37 @@ def _make_phase1_kernel(kp: PBSKernelPlan, M: int):
 
         @pl.when(m == M - 1)
         def _finalize():
-            for r in range(J):
-                for c in range(C):
-                    jc = r * C + c
-                    lo = comb_ref[jc, 0]
-                    hi = comb_ref[jc, 1] if nl == 2 else None
-                    for p_i in range(P):
-                        p = kp.primes[p_i]
-                        resi = _limbs_to_resi(lo, hi, kp, p_i)
-                        out_ref[0, 0, r, c, p_i] = _exact(
-                            _fwd_ntt(resi, ftw_ref[p_i], ftws_ref[p_i],
-                                     liota, p, N), p)
+            if mxu_refs is not None:
+                tw_ref, tws_ref, w_ref = mxu_refs[:3]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    rows = []
+                    for jc in range(JC):
+                        rows.append(_limbs_to_resi(
+                            comb_ref[jc, 0],
+                            comb_ref[jc, 1] if nl == 2 else None,
+                            kp, p_i))
+                    yall = _fwd_ntt_mxu(
+                        jnp.concatenate(rows, axis=0), ftw_ref[p_i],
+                        ftws_ref[p_i], tw_ref[p_i], tws_ref[p_i],
+                        w_ref[p_i], p, kp.s256[p_i], kp.red1[p_i], N)
+                    for r in range(J):
+                        for c in range(C):
+                            jc = r * C + c
+                            out_ref[0, 0, r, c, p_i] = _exact(
+                                yall[jc * bt:(jc + 1) * bt], p)
+            else:
+                for r in range(J):
+                    for c in range(C):
+                        jc = r * C + c
+                        lo = comb_ref[jc, 0]
+                        hi = comb_ref[jc, 1] if nl == 2 else None
+                        for p_i in range(P):
+                            p = kp.primes[p_i]
+                            resi = _limbs_to_resi(lo, hi, kp, p_i)
+                            out_ref[0, 0, r, c, p_i] = _exact(
+                                _fwd_ntt(resi, ftw_ref[p_i], ftws_ref[p_i],
+                                         liota, p, N), p)
 
     return kernel
 
@@ -2077,21 +2103,26 @@ def ubr_phase1_combine(su_tiles, rot_tiles, kp: PBSKernelPlan,
         (1, 1, JC, bt, N),
         lambda b, g, m: (g, m, b * 0, b * 0, b * 0),
         memory_space=pltpu.VMEM)
+    in_specs = [su_spec] * nl + [
+        pl.BlockSpec((1, 1, 1, bt, 1),
+                     lambda b, g, m: (b, g, m, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N),
+                     lambda b, g, m: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N),
+                     lambda b, g, m: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [*su_tiles, rot_tiles, kp.ftw, kp.ftws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs3(kp)
+        args += _mxu_args(kp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, nG, J, C, P, bt, N), _U32),
         grid=(B, nG, M),
-        in_specs=[su_spec] * nl + [
-            pl.BlockSpec((1, 1, 1, bt, 1),
-                         lambda b, g, m: (b, g, m, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N),
-                         lambda b, g, m: (b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N),
-                         lambda b, g, m: (b * 0, b * 0, b * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, J, C, P, bt, N),
             lambda b, g, m: (b, g, m * 0, m * 0, m * 0, m * 0, m * 0),
@@ -2102,7 +2133,7 @@ def ubr_phase1_combine(su_tiles, rot_tiles, kp: PBSKernelPlan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*su_tiles, rot_tiles, kp.ftw, kp.ftws)
+    )(*args)
 
 
 def tile_su_planes(su_planes, kp: PBSKernelPlan):

@@ -162,6 +162,10 @@ def test_unfolded_and_apply_kernels_mxu(monkeypatch):
         tv2, c1, sa, bk, 4, impl="pallas_interpret")
     np.testing.assert_array_equal(np.asarray(want2.a), np.asarray(got2.a))
     np.testing.assert_array_equal(np.asarray(want2.b), np.asarray(got2.b))
+    sa_k = bootstrap.multivalue_bootstrap_UBR_phase1(
+        c1, bk, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(sa.v, dtype=np.uint64),
+                                  np.asarray(sa_k.v, dtype=np.uint64))
 
 
 def test_unfolded_bootstrap_e2e_kernel():
