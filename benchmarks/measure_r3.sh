@@ -29,12 +29,16 @@ print(json.dumps(row))" >> "$R"
   done
 }
 
-# 1. MXU int8 forward-NTT tail ablation (the open perf question)
-leg mxu_tail      3000 MOSFHET_NTT_MXU=1 BENCH_BATCH=256 python bench.py
+# 1. MXU int8 forward-NTT tail ablation (the open perf question).
+#    BENCH_TORUS32=0: the u64 ablation must not re-run (and silently
+#    reconfigure) the 20-minute TORUS32 subprocess.
+leg mxu_tail      3000 MOSFHET_NTT_MXU=1 BENCH_TORUS32=0 BENCH_BATCH=256 python bench.py
 # 2. narrow-prime depth-3 lazy-chain ablation
-leg narrow_primes 3000 MOSFHET_NTT_PRIMES=narrow BENCH_BATCH=256 python bench.py
+leg narrow_primes 3000 MOSFHET_NTT_PRIMES=narrow BENCH_TORUS32=0 BENCH_BATCH=256 python bench.py
 # 3. headline (default path, post round-3 commits; includes TORUS32 leg)
 leg headline      3000 BENCH_BATCH=256 python bench.py
+# 3b. TORUS32 under MXU, as its own labeled ablation row
+leg mxu_torus32   3000 MOSFHET_TORUS_BITS=32 MOSFHET_NTT_MXU=1 BENCH_BATCH=256 python benchmarks/bench_torus32.py
 # 4. GA bootstrap after the in-kernel DMA-streamed AK gather
 leg ga            3000 BENCH_BATCH=256 python benchmarks/bench_ga.py
 # 5. MV phase-2 compose after the extraction reorder

@@ -278,7 +278,7 @@ def import_mosfhet_bootstrap_key(f):
         jnp.stack(rows).reshape(n // unfolding, key_exp, (k + 1) * l,
                                 k + 1, N))
     bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), (k + 1) * l)
-    primes = _ntt.primes_for_bound(bound)
+    primes = _ntt.primes_for_bound(bound, N)
     return BootstrapKey(v=None, vs=None, su=su, n=n, k=k, N=N, l=l,
                         Bg_bit=Bg_bit, unfolding=unfolding, primes=primes)
 
@@ -620,7 +620,7 @@ def import_mosfhet_bootstrap_key_dft(f, layout: str = "ffnt"):
                           dtype="<f8").reshape(R, k + 1, N)
         rows[i] = ffnt_dft_to_torus(d, layout)
     bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), R)
-    primes = _ntt.primes_for_bound(bound)
+    primes = _ntt.primes_for_bound(bound, N)
     plan = _ntt.get_plan(N, primes)
     v = _ntt.to_ntt_u64(jnp.asarray(rows), plan)
     vs = _ntt.make_shoup(v, plan.p[:, None])

@@ -56,7 +56,7 @@ class TRLWEKSKey:
 
 def _ks_plan(N: int, base_bit: int, t: int, k_in: int):
     bound = _ntt.conv_bound(N, 1 << (base_bit - 1), k_in * t)
-    return _ntt.get_plan(N, _ntt.primes_for_bound(bound))
+    return _ntt.get_plan(N, _ntt.primes_for_bound(bound, N))
 
 
 def _encrypt_batch_to_dft(ms, out_key: TRLWEKey, rkey, plan):

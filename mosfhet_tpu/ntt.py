@@ -60,20 +60,27 @@ NARROW_PRIMES = (536608769, 536641537, 536690689)
 TENSOR_PRIMES = MASTER_PRIMES[-5:]
 
 
-def primes_for_bound(bound: int):
+def primes_for_bound(bound: int, N: int = None):
     """Smallest suffix of MASTER_PRIMES (largest primes first) whose product
     exceeds ``2 * bound`` — i.e. a prime set whose centered CRT range can
     represent any integer with |value| <= bound.
 
     MOSFHET_NTT_PRIMES=narrow selects `NARROW_PRIMES` instead whenever
     their range covers the bound (the depth-3 lazy-chain ablation,
-    ROADMAP perf candidate (a))."""
+    ROADMAP perf candidate (a)) — and, when the caller passes its ring
+    dimension ``N``, only if every narrow prime supports a 2N-th root
+    (min 2-adicity of the set is 14, so N <= 8192); otherwise the env
+    flag silently falls back to the master set instead of failing later
+    at plan build."""
     import os
     if os.environ.get("MOSFHET_NTT_PRIMES") == "narrow":
         prod = 1
+        ok = True
         for p in NARROW_PRIMES:
             prod *= p
-        if prod > 2 * bound:
+            if N is not None and (p - 1) % (2 * N) != 0:
+                ok = False
+        if ok and prod > 2 * bound:
             return NARROW_PRIMES
     chosen = []
     prod = 1

@@ -594,12 +594,13 @@ def _get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
 
 def get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
                     bt: int = DEFAULT_BT, mxu: bool = None) -> PBSKernelPlan:
-    """`mxu=None` resolves from the `MOSFHET_NTT_MXU` env var: the
-    CMUX/step kernels then run their forward-NTT tails on the int8 MXU
-    (`_fwd_ntt_mxu`) instead of lane-roll butterflies."""
+    """`mxu=None` resolves from the `MOSFHET_NTT_MXU` env var (=="1"):
+    the kernels then run their forward-NTT tails / inverse-NTT heads on
+    the int8 MXU (`_fwd_ntt_mxu`/`_inv_ntt_mxu`) instead of lane-roll
+    butterflies."""
     if mxu is None:
         import os
-        mxu = bool(os.environ.get("MOSFHET_NTT_MXU"))
+        mxu = os.environ.get("MOSFHET_NTT_MXU", "0") == "1"
     return _get_kernel_plan(N, primes, l, Bg_bit, k, bt, bool(mxu))
 
 
@@ -685,19 +686,38 @@ def _garner_limb32(ts, kp: PBSKernelPlan):
     return lo
 
 
-def _ntt_mul_acc(kp: PBSKernelPlan, dig_ref, keyv_ref, keyvs_ref, spec_ref,
-                 ftw_ref, ftws_ref, liota, mxu_refs):
-    """spec[c, p] += NTT(dig[j]) * key[j, c, p] over all J digit rows.
+def _ntt_mul_acc_keyfn(kp: PBSKernelPlan, dig_ref, spec_ref, ftw_ref,
+                       ftws_ref, liota, mxu_refs, nrows: int, key_fn,
+                       barrett: bool = False):
+    """spec[c, p] += NTT(dig[j]) * key(j, c, p) over digit rows j < nrows.
 
-    Default path: fori_loop over J, lane-roll `_fwd_ntt` per row tile.
-    MXU path (`mxu_refs` = (tw, tws, w) given): one `_fwd_ntt_mxu` over
-    all J*BT rows per prime — the per-block int8 matmuls then contract at
-    M = J*BT >= 128, keeping the MXU's full sublane width busy — followed
-    by a statically unrolled accumulate."""
-    N, P, C, J, bt = kp.N, kp.P, kp.C, kp.J, kp.bt
+    `key_fn(j, c, p_i)` returns the [BT, N] u32 key row — with its Shoup
+    companion as a second element when `barrett=False` (static keys), or
+    alone when `barrett=True` (dynamic keys, multiplied with
+    `_barrett_lazy`; requires the wide-prime window).
+
+    Default path: fori_loop over rows, lane-roll `_fwd_ntt` per row tile
+    (so `key_fn` must accept a traced `j`).  MXU path (`mxu_refs`
+    given): one `_fwd_ntt_mxu` over all nrows*BT rows per prime — the
+    per-block int8 matmuls then contract at M = nrows*BT >= 128, keeping
+    the MXU's full sublane width busy — followed by a statically
+    unrolled accumulate."""
+    N, P, C, bt = kp.N, kp.P, kp.C, kp.bt
+    if barrett:
+        assert kp.barrett_ok, (
+            "dynamic-key (Barrett) kernels need primes > 2^30/1.75; the "
+            "narrow-prime set (MOSFHET_NTT_PRIMES=narrow) cannot run the "
+            "unfolded/UBR/GA kernels")
+
+    def mul(s_, j, c, p_i, p):
+        if barrett:
+            return _barrett_lazy(s_, key_fn(j, c, p_i), p, kp.mup[p_i])
+        kv, ks = key_fn(j, c, p_i)
+        return _shoup_lazy(s_, kv, ks, p)
+
     if mxu_refs is not None:
         tw_ref, tws_ref, w_ref = mxu_refs[:3]
-        d_all = dig_ref[:].reshape(J * bt, N)
+        d_all = dig_ref[:nrows].reshape(nrows * bt, N)
         for p_i in range(P):
             p = kp.primes[p_i]
             r = jnp.where(d_all < 0, d_all + jnp.int32(p),
@@ -705,16 +725,12 @@ def _ntt_mul_acc(kp: PBSKernelPlan, dig_ref, keyv_ref, keyvs_ref, spec_ref,
             s_all = _fwd_ntt_mxu(r, ftw_ref[p_i], ftws_ref[p_i],
                                  tw_ref[p_i], tws_ref[p_i], w_ref[p_i],
                                  p, kp.s256[p_i], kp.red1[p_i],
-                                 N).reshape(J, bt, N)
-            for j in range(J):
+                                 N).reshape(nrows, bt, N)
+            for j in range(nrows):
                 for c in range(C):
-                    kv = jnp.broadcast_to(
-                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    ks = jnp.broadcast_to(
-                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    prod = _shoup_lazy(s_all[j], kv, ks, p)
                     spec_ref[c, p_i] = _cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
+                        spec_ref[c, p_i] + mul(s_all[j], j, c, p_i, p),
+                        2 * p)
         return
 
     def body(j, carry):
@@ -725,16 +741,26 @@ def _ntt_mul_acc(kp: PBSKernelPlan, dig_ref, keyv_ref, keyvs_ref, spec_ref,
             s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
                           p, N, lazy3=kp.lazy3)
             for c in range(C):
-                kv = jnp.broadcast_to(
-                    keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                ks = jnp.broadcast_to(
-                    keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                prod = _shoup_lazy(s_, kv, ks, p)        # < 2p
                 spec_ref[c, p_i] = _cond_sub(
-                    spec_ref[c, p_i] + prod, 2 * p)
+                    spec_ref[c, p_i] + mul(s_, j, c, p_i, p), 2 * p)
         return carry
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nrows), body, jnp.int32(0))
+
+
+def _ntt_mul_acc(kp: PBSKernelPlan, dig_ref, keyv_ref, keyvs_ref, spec_ref,
+                 ftw_ref, ftws_ref, liota, mxu_refs):
+    """spec[c, p] += NTT(dig[j]) * key[j, c, p] over all J digit rows
+    (static Shoup key resident as [J, C, P, N] + companions)."""
+    bt = kp.bt
+
+    def key_fn(j, c, p_i):
+        kv = jnp.broadcast_to(keyv_ref[j, c, p_i:p_i + 1, :], (bt, kp.N))
+        ks = jnp.broadcast_to(keyvs_ref[j, c, p_i:p_i + 1, :], (bt, kp.N))
+        return kv, ks
+
+    _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref, liota,
+                       mxu_refs, kp.J, key_fn)
 
 
 def _inv_ntts(kp: PBSKernelPlan, spec_ref, itw_ref, itws_ref, liota,
@@ -1396,40 +1422,8 @@ def _make_apply_kernel(kp: PBSKernelPlan, per_row: bool):
             for p in range(P):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-        if mxu_refs is not None:
-            tw_ref, tws_ref, w_ref = mxu_refs[:3]
-            d_all = dig_ref[:].reshape(J * bt, N)
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                r = jnp.where(d_all < 0, d_all + jnp.int32(p),
-                              d_all).astype(_U32)
-                s_all = _fwd_ntt_mxu(
-                    r, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
-                    tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
-                    kp.red1[p_i], N).reshape(J, bt, N)
-                for j in range(J):
-                    for c in range(C):
-                        prod = _barrett_lazy(s_all[j], key_row(j, c, p_i),
-                                             p, kp.mup[p_i])
-                        spec_ref[c, p_i] = _cond_sub(
-                            spec_ref[c, p_i] + prod, 2 * p)
-        else:
-            def body(j, carry):
-                d = dig_ref[j]
-                for p_i in range(P):
-                    p = kp.primes[p_i]
-                    r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                    s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
-                                  p, N)
-                    for c in range(C):
-                        prod = _barrett_lazy(s_, key_row(j, c, p_i), p,
-                                             kp.mup[p_i])
-                        spec_ref[c, p_i] = _cond_sub(
-                            spec_ref[c, p_i] + prod, 2 * p)
-                return carry
-
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body,
-                              jnp.int32(0))
+        _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
+                           liota, mxu_refs, J, key_row, barrett=True)
 
         ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
                            mxu_refs)
@@ -1696,41 +1690,10 @@ def _make_auto_ks_kernel(kp: PBSKernelPlan):
             for p in range(P):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-        if mxu_refs is not None:
-            tw_ref, tws_ref, w_ref = mxu_refs[:3]
-            d_all = dig_ref[:].reshape(Jk * bt, N)
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                r = jnp.where(d_all < 0, d_all + jnp.int32(p),
-                              d_all).astype(_U32)
-                s_all = _fwd_ntt_mxu(
-                    r, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
-                    tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
-                    kp.red1[p_i], N).reshape(Jk, bt, N)
-                for j in range(Jk):
-                    for c in range(C):
-                        prod = _barrett_lazy(
-                            s_all[j], keyv_ref[0, j, c, p_i], p,
-                            kp.mup[p_i])
-                        spec_ref[c, p_i] = _cond_sub(
-                            spec_ref[c, p_i] + prod, 2 * p)
-        else:
-            def body(j, carry):
-                d = dig_ref[j]
-                for p_i in range(P):
-                    p = kp.primes[p_i]
-                    r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                    s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
-                                  p, N)
-                    for c in range(C):
-                        kv = keyv_ref[0, j, c, p_i]          # [BT, N]
-                        prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
-                        spec_ref[c, p_i] = _cond_sub(
-                            spec_ref[c, p_i] + prod, 2 * p)
-                return carry
-
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body,
-                              jnp.int32(0))
+        _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
+                           liota, mxu_refs, Jk,
+                           lambda j, c, p_i: keyv_ref[0, j, c, p_i],
+                           barrett=True)
 
         ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
                            mxu_refs)
@@ -1871,41 +1834,10 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
         for cp in copies:
             cp.wait()
 
-        if mxu_refs is not None:
-            tw_ref, tws_ref, w_ref = mxu_refs[:3]
-            d_all = dig_ref[:].reshape(Jk * bt, N)
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                r_ = jnp.where(d_all < 0, d_all + jnp.int32(p),
-                               d_all).astype(_U32)
-                s_all = _fwd_ntt_mxu(
-                    r_, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
-                    tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
-                    kp.red1[p_i], N).reshape(Jk, bt, N)
-                for j in range(Jk):
-                    for c in range(C):
-                        prod = _barrett_lazy(
-                            s_all[j], key_scr[j, c, p_i], p, kp.mup[p_i])
-                        spec_ref[c, p_i] = _cond_sub(
-                            spec_ref[c, p_i] + prod, 2 * p)
-        else:
-            def body(j, carry):
-                d = dig_ref[j]
-                for p_i in range(P):
-                    p = kp.primes[p_i]
-                    r_ = jnp.where(d < 0, d + jnp.int32(p),
-                                   d).astype(_U32)
-                    s_ = _fwd_ntt(r_, ftw_ref[p_i], ftws_ref[p_i], liota,
-                                  p, N)
-                    for c in range(C):
-                        kv = key_scr[j, c, p_i]              # [BT, N]
-                        prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
-                        spec_ref[c, p_i] = _cond_sub(
-                            spec_ref[c, p_i] + prod, 2 * p)
-                return carry
-
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(Jk), body,
-                              jnp.int32(0))
+        _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
+                           liota, mxu_refs, Jk,
+                           lambda j, c, p_i: key_scr[j, c, p_i],
+                           barrett=True)
 
         ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
                            mxu_refs)
@@ -2289,42 +2221,10 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
                 for p in range(P):
                     spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-            if mxu_refs is not None:
-                tw_ref, tws_ref, w_ref = mxu_refs[:3]
-                d_all = dig_ref[:].reshape(J * bt, N)
-                for p_i in range(P):
-                    p = kp.primes[p_i]
-                    rr = jnp.where(d_all < 0, d_all + jnp.int32(p),
-                                   d_all).astype(_U32)
-                    s_all = _fwd_ntt_mxu(
-                        rr, ftw_ref[p_i], ftws_ref[p_i], tw_ref[p_i],
-                        tws_ref[p_i], w_ref[p_i], p, kp.s256[p_i],
-                        kp.red1[p_i], N).reshape(J, bt, N)
-                    for j in range(J):
-                        for c in range(C):
-                            prod = _barrett_lazy(
-                                s_all[j], keyspec_ref[j, c, p_i], p,
-                                kp.mup[p_i])
-                            spec_ref[c, p_i] = _cond_sub(
-                                spec_ref[c, p_i] + prod, 2 * p)
-            else:
-                def body(j, carry):
-                    d = dig_ref[j]
-                    for p_i in range(P):
-                        p = kp.primes[p_i]
-                        rr = jnp.where(d < 0, d + jnp.int32(p),
-                                       d).astype(_U32)
-                        s_ = _fwd_ntt(rr, ftw_ref[p_i], ftws_ref[p_i],
-                                      liota, p, N)
-                        for c in range(C):
-                            kv = keyspec_ref[j, c, p_i]
-                            prod = _barrett_lazy(s_, kv, p, kp.mup[p_i])
-                            spec_ref[c, p_i] = _cond_sub(
-                                spec_ref[c, p_i] + prod, 2 * p)
-                    return carry
-
-                jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body,
-                                  jnp.int32(0))
+            _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
+                               liota, mxu_refs, J,
+                               lambda j, c, p_i: keyspec_ref[j, c, p_i],
+                               barrett=True)
 
             ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
                                mxu_refs)

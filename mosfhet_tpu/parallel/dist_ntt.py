@@ -220,7 +220,7 @@ def make_dist_ntt_mul_small(mesh: Mesh, N: int, axis: str = "x",
     collectives).  Bit-exact vs `polynomial.ntt_mul_small`."""
     D = mesh.shape[axis]
     bound = _ntt.conv_bound(N, max_abs_digit, 1)
-    primes = _ntt.primes_for_bound(bound)
+    primes = _ntt.primes_for_bound(bound, N)
     dplan = DistNTTPlan(N, D, primes)
     splan = _ntt.get_plan(N, primes)       # for to_resi / garner only
     Pn, N2 = len(primes), dplan.N2

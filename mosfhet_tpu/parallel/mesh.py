@@ -89,6 +89,12 @@ def _blind_rotate_tp_kernel(acc, a_scan, bk_v32, bk_vs32, kp,
     acc: [Bs, C, N] torus; a_scan: [n, Bs] i32;
     bk_v32/bk_vs32: [n, J/m, C, P, N] u32 (this shard's rows)."""
     from ..ops import pbs_kernel as _pk
+    # the cross-shard psum of m exact (< p) u32 partials must not wrap —
+    # asserted here (not only in pbs_on_mesh's auto selection) so an
+    # explicit impl="pallas" cannot silently corrupt ciphertexts
+    assert m_size * max(kp.primes) < 2**32, (
+        f"kernel TP psum overflows u32: {m_size} shards x max prime "
+        f"{max(kp.primes)} >= 2^32; use fewer model shards or impl='jnp'")
     Bs = acc.shape[0]
     nb = Bs // kp.bt
     tiles = _pk.split_limbs(acc, kp)
@@ -122,11 +128,15 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
     Ciphertext batch is sharded over `data_axis`; the bootstrap key's J axis
     is sharded over `model_axis` (pass None to replicate the key).
 
-    impl: "auto" uses the fused Pallas kernel per data shard on TPU when
-    the key is replicated (pure data parallelism — the blind rotate is then
-    communication-free); gadget-axis (model) sharding and non-TPU platforms
-    use the portable jnp path.  Both are exact.  The kernel path pads each
-    shard's batch up to the kernel tile (32) and truncates after.
+    impl: "auto" uses the fused Pallas kernel per data shard on TPU —
+    replicated key: pure data parallelism, communication-free blind
+    rotate; J-sharded key (model > 1): the kernel-TP path
+    (`_blind_rotate_tp_kernel`, per-step psum of exact NTT-domain
+    partials), selected only when m_size * max(prime) < 2^32 so the u32
+    psum cannot wrap (also asserted in the kernel path itself).
+    Non-TPU platforms and ineligible configs use the portable jnp path.
+    All paths are exact.  The kernel paths pad each shard's batch up to
+    the kernel tile (32) and truncate after.
     """
     assert bk.unfolding == 1
     plan = bk.plan()

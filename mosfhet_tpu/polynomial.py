@@ -110,7 +110,7 @@ def ntt_mul_small_small(a, b, bound_a: int, bound_b: int):
     N = a.shape[-1]
     bound = N * max(bound_a, 1) * max(bound_b, 1)
     assert bound < (1 << 62)
-    plan = _ntt.get_plan(N, _ntt.primes_for_bound(bound))
+    plan = _ntt.get_plan(N, _ntt.primes_for_bound(bound, N))
     fa = _ntt.to_ntt_small(jnp.asarray(a, jnp.int64), plan)
     fb = _ntt.to_ntt_small(jnp.asarray(b, jnp.int64), plan)
     r = _ntt.from_ntt_u64(_ntt.pointwise_mul(fa, fb, plan), plan)

@@ -57,7 +57,7 @@ def tensor_prod_fft(c1: TRLWE, c2: TRLWE, precision: int,
     half_prec2 = TORUS_BITS - (TORUS_BITS - precision + 1) // 2
     # integer magnitudes ~2^half_prec; conv bound N * 2^(h1+h2)
     bound = N << (half_prec1 + half_prec2)
-    plan = _ntt.get_plan(N, _ntt.primes_for_bound(bound))
+    plan = _ntt.get_plan(N, _ntt.primes_for_bound(bound, N))
 
     def scaled_ntt(x, log_scale):
         xs = _poly.torus_scale_round(x, log_scale)

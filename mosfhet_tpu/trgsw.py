@@ -42,7 +42,7 @@ class TRGSWKey:
         bound = _ntt.conv_bound(
             self.trlwe_key.N, 1 << (self.Bg_bit - 1), (k + 1) * self.l
         )
-        return _ntt.get_plan(self.trlwe_key.N, _ntt.primes_for_bound(bound))
+        return _ntt.get_plan(self.trlwe_key.N, _ntt.primes_for_bound(bound, self.trlwe_key.N))
 
 
 def new_key(trlwe_key: TRLWEKey, l: int, Bg_bit: int) -> TRGSWKey:

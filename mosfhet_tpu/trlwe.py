@@ -87,7 +87,7 @@ class TRLWEKey:
     def plan(self):
         """NTT plan wide enough for key-times-ciphertext products."""
         bound = _ntt.conv_bound(self.N, max(self.s_bound, 1), self.k)
-        return _ntt.get_plan(self.N, _ntt.primes_for_bound(bound))
+        return _ntt.get_plan(self.N, _ntt.primes_for_bound(bound, self.N))
 
 
 # --- key generation (`trlwe.c:104-228`) ------------------------------------

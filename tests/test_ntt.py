@@ -123,3 +123,18 @@ def test_batched_shapes():
     assert f.shape == (2, 3, plan.P, N)
     y = ntt.from_ntt_u64(f, plan)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_narrow_primes_env_gates(monkeypatch):
+    """MOSFHET_NTT_PRIMES=narrow only fires when the narrow set covers
+    the bound AND (when N is passed) supports a 2N-th root: the set's
+    min 2-adicity is 14, so N > 8192 must fall back to master primes
+    instead of failing later at plan build."""
+    monkeypatch.setenv("MOSFHET_NTT_PRIMES", "narrow")
+    bound = ntt.conv_bound(2048, 1 << 8, 6)
+    assert ntt.primes_for_bound(bound, 2048) == ntt.NARROW_PRIMES
+    assert ntt.primes_for_bound(bound) == ntt.NARROW_PRIMES
+    for p in ntt.primes_for_bound(bound, 16384):
+        assert (p - 1) % (2 * 16384) == 0
+    monkeypatch.delenv("MOSFHET_NTT_PRIMES")
+    assert ntt.primes_for_bound(bound, 2048) != ntt.NARROW_PRIMES
