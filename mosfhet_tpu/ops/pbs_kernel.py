@@ -688,8 +688,11 @@ def _garner_limb32(ts, kp: PBSKernelPlan):
 
 def _ntt_mul_acc_keyfn(kp: PBSKernelPlan, dig_ref, spec_ref, ftw_ref,
                        ftws_ref, liota, mxu_refs, nrows: int, key_fn,
-                       barrett: bool = False):
-    """spec[c, p] += NTT(dig[j]) * key(j, c, p) over digit rows j < nrows.
+                       barrett: bool = False, dig0=None):
+    """spec[c, p] += NTT(dig[dig0 + j]) * key(j, c, p) over rows
+    j < nrows (dig0: traced offset into dig_ref, default 0 — used by the
+    tensor-parallel partial kernel whose shard owns rows
+    [dig0, dig0 + nrows)).
 
     `key_fn(j, c, p_i)` returns the [BT, N] u32 key row — with its Shoup
     companion as a second element when `barrett=False` (static keys), or
@@ -717,7 +720,10 @@ def _ntt_mul_acc_keyfn(kp: PBSKernelPlan, dig_ref, spec_ref, ftw_ref,
 
     if mxu_refs is not None:
         tw_ref, tws_ref, w_ref = mxu_refs[:3]
-        d_all = dig_ref[:nrows].reshape(nrows * bt, N)
+        if dig0 is None:
+            d_all = dig_ref[:nrows].reshape(nrows * bt, N)
+        else:
+            d_all = dig_ref[pl.ds(dig0, nrows)].reshape(nrows * bt, N)
         for p_i in range(P):
             p = kp.primes[p_i]
             r = jnp.where(d_all < 0, d_all + jnp.int32(p),
@@ -734,7 +740,7 @@ def _ntt_mul_acc_keyfn(kp: PBSKernelPlan, dig_ref, spec_ref, ftw_ref,
         return
 
     def body(j, carry):
-        d = dig_ref[j]                                   # [BT, N] i32
+        d = dig_ref[j] if dig0 is None else dig_ref[dig0 + j]
         for p_i in range(P):
             p = kp.primes[p_i]
             r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
@@ -1152,11 +1158,17 @@ def _make_partial_step_kernel(kp: PBSKernelPlan, j_local: int):
     bt = kp.bt
 
     def kernel(j0_ref, acc_ref, a_ref, keyv_ref, keyvs_ref, ftw_ref,
-               ftws_ref, spec_out_ref, dig_ref, spec_ref):
+               ftws_ref, *rest):
         # acc_ref: [1, nl, C, BT, N] u32; a_ref: [1, BT, 1] i32
         # keyv/s: [j_local, C, P, N] u32 (this shard's key rows)
         # j0_ref: [1] i32 in SMEM — global index of the first local row
         # spec_out_ref: [1, C, P, BT, N] u32, each value in [0, p)
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            spec_out_ref, dig_ref, spec_ref = rest[6:]
+        else:
+            spec_out_ref, dig_ref, spec_ref = rest
+            mxu_refs = None
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         a_col = a_ref[0]
         j0 = j0_ref[0]
@@ -1186,25 +1198,14 @@ def _make_partial_step_kernel(kp: PBSKernelPlan, j_local: int):
             for p in range(P):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-        def body(j, carry):
-            d = dig_ref[j0 + j]
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
-                s_ = _fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
-                              p, N, lazy3=kp.lazy3)
-                for c in range(C):
-                    kv = jnp.broadcast_to(
-                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    ks = jnp.broadcast_to(
-                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    prod = _shoup_lazy(s_, kv, ks, p)
-                    spec_ref[c, p_i] = _cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
-            return carry
+        def key_fn(j, c, p_i):
+            kv = jnp.broadcast_to(keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+            ks = jnp.broadcast_to(keyvs_ref[j, c, p_i:p_i + 1, :],
+                                  (bt, N))
+            return kv, ks
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(j_local), body,
-                          jnp.int32(0))
+        _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
+                           liota, mxu_refs, j_local, key_fn, dig0=j0)
 
         for c in range(C):
             for p_i in range(P):
@@ -1226,28 +1227,33 @@ def partial_step_tiles(acc_tiles, a_tiles, j0, keyv, keyvs,
     j_local = keyv.shape[0]
     S = N.bit_length() - 1
     kernel = _make_partial_step_kernel(kp, j_local)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, nl, C, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt, 1), lambda i: (i, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((j_local, C, P, N),
+                     lambda i: (i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((j_local, C, P, N),
+                     lambda i: (i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [j0, acc_tiles, a_tiles, keyv, keyvs, kp.ftw, kp.ftws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs(kp)
+        args += _mxu_args(kp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, C, P, bt, N), _U32),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nl, C, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, 1), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((j_local, C, P, N),
-                         lambda i: (i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((j_local, C, P, N),
-                         lambda i: (i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, C, P, bt, N),
                                lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
@@ -1258,7 +1264,7 @@ def partial_step_tiles(acc_tiles, a_tiles, j0, keyv, keyvs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(j0, acc_tiles, a_tiles, keyv, keyvs, kp.ftw, kp.ftws)
+    )(*args)
 
 
 def _make_finish_step_kernel(kp: PBSKernelPlan, n_sub: int):
@@ -1267,17 +1273,40 @@ def _make_finish_step_kernel(kp: PBSKernelPlan, n_sub: int):
     N, P, C = kp.N, kp.P, kp.C
     bt = kp.bt
 
-    def kernel(acc_ref, spec_ref, itw_ref, itws_ref, out_ref):
+    def kernel(acc_ref, spec_ref, itw_ref, itws_ref, *rest):
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            out_ref = rest[6]
+        else:
+            (out_ref,) = rest
+            mxu_refs = None
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        red = [[None] * P for _ in range(C)]       # psum -> [0, 2p)
         for c in range(C):
-            ts = []
             for p_i in range(P):
                 p = kp.primes[p_i]
                 s = spec_ref[0, c, p_i]
                 for _ in range(n_sub):
                     s = _cond_sub(s, 2 * p)
-                ts.append(_inv_ntt(s, itw_ref[p_i], itws_ref[p_i],
-                                   liota, p, N))
+                red[c][p_i] = s
+        if mxu_refs is not None:
+            itwr_ref, itwrs_ref, iw_ref = mxu_refs[3:]
+            ts_all = [[None] * P for _ in range(C)]
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                xs = jnp.concatenate([red[c][p_i] for c in range(C)],
+                                     axis=0)
+                y = _inv_ntt_mxu(xs, itw_ref[p_i], itws_ref[p_i],
+                                 itwr_ref[p_i], itwrs_ref[p_i],
+                                 iw_ref[p_i], p, kp.s256[p_i], N)
+                for c in range(C):
+                    ts_all[c][p_i] = y[c * bt:(c + 1) * bt]
+        else:
+            ts_all = [[_inv_ntt(red[c][p_i], itw_ref[p_i], itws_ref[p_i],
+                                liota, kp.primes[p_i], N)
+                       for p_i in range(P)] for c in range(C)]
+        for c in range(C):
+            ts = ts_all[c]
             if kp.nl == 1:
                 dlo = _garner_limb32(ts, kp)
                 out_ref[0, 0, c] = acc_ref[0, 0, c] + dlo
@@ -1305,22 +1334,27 @@ def finish_step_tiles(acc_tiles, spec, kp: PBSKernelPlan, n_parts: int,
     S = N.bit_length() - 1
     n_sub = max(0, (n_parts - 1) // 2)       # < n_parts*p -> < 2p
     kernel = _make_finish_step_kernel(kp, n_sub)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, P, bt, N),
+                     lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [acc_tiles, spec, kp.itw, kp.itws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs(kp)
+        args += _mxu_args(kp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, nl, C, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, P, bt, N),
-                         lambda i: (i, i * 0, i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nl, C, bt, N),
                                lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
@@ -1328,7 +1362,7 @@ def finish_step_tiles(acc_tiles, spec, kp: PBSKernelPlan, n_parts: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(acc_tiles, spec, kp.itw, kp.itws)
+    )(*args)
 
 
 def _limbs_to_resi(lo, hi, kp: PBSKernelPlan, p_i: int):

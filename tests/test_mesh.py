@@ -135,6 +135,27 @@ def test_pallas_kernel_model_sharded():
     _phase_check(got, key_out, luts, slots)
 
 
+def test_pallas_kernel_model_sharded_mxu(monkeypatch):
+    """The kernel-TP path under MOSFHET_NTT_MXU=1 (int8-matmul NTT tails
+    in the partial kernel, MXU inverse head in the finish kernel) stays
+    bit-identical to the unsharded bootstrap."""
+    p = params.TFHEParams(
+        n=8, N=128, k=1, l=2, Bg_bit=10, t=6, base_bit=4,
+        lwe_sigma=2.0**-28, rlwe_sigma=2.0**-44, name="MESH_TP_MXU",
+    )
+    batch = 4
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(7, batch, p=p)
+    want = bootstrap.functional_bootstrap(tv1, cs, bk, 4)
+    monkeypatch.setenv("MOSFHET_NTT_MXU", "1")
+    mesh = pmesh.make_mesh(jax.devices()[:4], data=2, model=2)
+    run = pmesh.pbs_on_mesh(mesh, bk, torus_base=4, model_axis="model",
+                            impl="pallas", interpret=True)
+    got = run(tv, cs)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    _phase_check(got, key_out, luts, slots)
+
+
 def test_pallas_kernel_on_mesh_with_padding():
     """The fused kernel path inside shard_map (interpreter mode), with a
     per-shard batch (2) that is not a multiple of the kernel tile (32):
