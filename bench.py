@@ -51,7 +51,33 @@ def _run_torus32_leg():
         return None
 
 
+def _device_reachable(timeout_s: int = 180) -> bool:
+    """Probe the accelerator in a SUBPROCESS (this process must not create
+    its TPU client before the TORUS32 leg, and a downed axon tunnel hangs
+    device init forever — fail fast with a structured row instead)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            env=dict(os.environ), capture_output=True, text=True,
+            timeout=timeout_s)
+        return r.stdout.strip().endswith("ok")
+    except Exception:
+        return False
+
+
 def main():
+    if os.environ.get("BENCH_DEVICE_PROBE", "1") == "1" and \
+            os.environ.get("PALLAS_AXON_POOL_IPS") and \
+            not _device_reachable():
+        print(json.dumps({
+            "metric": "pbs_throughput_L2_unfold1", "value": 0,
+            "unit": "bootstraps/s", "vs_baseline": 0, "decrypt_ok": False,
+            "error": "TPU device init timed out (axon tunnel down)",
+        }), flush=True)
+        return
+
     torus32_row = None
     if os.environ.get("BENCH_TORUS32", "1") == "1":
         torus32_row = _run_torus32_leg()

@@ -11,6 +11,8 @@ set -u
 export PALLAS_AXON_POOL_IPS=127.0.0.1 PALLAS_AXON_REMOTE_COMPILE=1 \
        PALLAS_AXON_TPU_GEN=v5e AXON_LOOPBACK_RELAY=1 TPU_SKIP_MDS_QUERY=1
 export PYTHONPATH=/root/repo:/root/.axon_site
+# the watcher only starts this queue after a successful device probe
+export BENCH_DEVICE_PROBE=0
 cd /root/repo
 R=benchmarks/results_r3.jsonl
 
