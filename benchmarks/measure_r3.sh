@@ -47,6 +47,9 @@ leg ga            3000 BENCH_BATCH=256 python benchmarks/bench_ga.py
 leg mv            3000 SECTIONS=mv BENCH_BATCH=256 python benchmarks/bench_suite.py
 # 6. batch-512 headline (BENCH default batch)
 leg headline512   3000 BENCH_BATCH=512 python bench.py
+# 6b. kernel-TP split overhead on one chip (VERDICT r2 task 4 hardware row;
+#     compute-side proxy — real 2-chip ICI needs hardware we don't have)
+leg tp_split      3000 BENCH_BATCH=256 python benchmarks/bench_tp_split.py
 # 7. native-parameter matrix at the big sets (streamed seeded-KS cells)
 echo "== matrix start $(date)" >> /tmp/measure_r3.log
 MATRIX_SETS=TFHEPP_L2,SET_3 timeout 14000 python benchmarks/full_matrix_tpu.py \
