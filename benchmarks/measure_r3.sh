@@ -36,7 +36,7 @@ print(json.dumps(row))" >> "$R"
 #    reconfigure) the 20-minute TORUS32 subprocess.
 leg mxu_tail      3000 MOSFHET_NTT_MXU=1 BENCH_TORUS32=0 BENCH_BATCH=256 python bench.py
 # 2. narrow-prime depth-3 lazy-chain ablation
-leg narrow_primes 3000 MOSFHET_NTT_PRIMES=narrow BENCH_TORUS32=0 BENCH_BATCH=256 python bench.py
+leg narrow_primes 3000 MOSFHET_NTT_PRIMES=narrow BENCH_TORUS32=0 BENCH_MXU=0 BENCH_BATCH=256 python bench.py
 # 3. headline (default path, post round-3 commits; includes TORUS32 leg)
 leg headline      3000 BENCH_BATCH=256 python bench.py
 # 3b. TORUS32 under MXU, as its own labeled ablation row
