@@ -50,6 +50,9 @@ leg headline512   3000 BENCH_BATCH=512 python bench.py
 # 6b. kernel-TP split overhead on one chip (VERDICT r2 task 4 hardware row;
 #     compute-side proxy — real 2-chip ICI needs hardware we don't have)
 leg tp_split      3000 BENCH_BATCH=256 python benchmarks/bench_tp_split.py
+# 6c. per-phase kernel time split (round-3 re-baseline; default NTT plan —
+#     ablate_kernel builds its own 8-ref kernels, so keep MXU env unset)
+leg ablate        3000 BENCH_BATCH=256 python benchmarks/ablate_kernel.py
 # 7. native-parameter matrix at the big sets (streamed seeded-KS cells)
 echo "== matrix start $(date)" >> /tmp/measure_r3.log
 MATRIX_SETS=TFHEPP_L2,SET_3 timeout 14000 python benchmarks/full_matrix_tpu.py \
