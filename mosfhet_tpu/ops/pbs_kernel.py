@@ -222,7 +222,9 @@ def _fwd_ntt_mxu(x, ftw, ftws, tw, tws, w, p: int, s256: int, red1: int,
     int32 planes P_i with a 3-step Shoup-Horner in base 2^8 plus one
     final Shoup-by-1 reduction to the lazy [0, 2p) contract.
 
-    x: [R, N] u32 (any values; lazy ok).  tw/tws: [N] twist row.
+    x: [R, N] u32 (any values; lazy ok).  tw/tws: [1, N] twist row
+    (kept 2-D end to end: newaxis indexing inside a kernel lowers to a
+    1-D gather, which Mosaic rejects — only 2-D gathers are supported).
     w: [4*128, 4*128] int8 limb matrix (see `PBSKernelPlan._build_mxu`).
     s256/red1: Shoup companions of 256 and 1 for p.  Output matches
     `ntt.forward_ntt` mod p, bit-reversed order, in [0, 2p).
@@ -247,8 +249,8 @@ def _fwd_ntt_mxu(x, ftw, ftws, tw, tws, w, p: int, s256: int, red1: int,
         x = jnp.concatenate(parts, axis=1)
     # per-block column twist, fully reduced so the byte-limb split below
     # (which adds 0x80808080) cannot overflow u32
-    twr = jnp.broadcast_to(tw[None, :], (R, N))
-    twsr = jnp.broadcast_to(tws[None, :], (R, N))
+    twr = jnp.broadcast_to(tw, (R, N))
+    twsr = jnp.broadcast_to(tws, (R, N))
     xt = _exact(_shoup_lazy(x, twr, twsr, p), p)          # < p < 2^30
     outs = []
     for b in range(NB):
@@ -325,9 +327,9 @@ def _inv_ntt_mxu(x, itw, itws, ttw, ttws, w, p: int, s256: int, N: int):
     and the 1/N scaling then run exactly as `_inv_ntt`; since that path
     ends canonical, the output is bit-identical to `_inv_ntt`.
 
-    x: [R, N] u32 in [0, 2p).  ttw/ttws: [N] row-twist (lane b*128+o
-    holds T_b[o]).  w: [512, 512] int8 limb matrix of Mi0.  Output
-    exact in [0, p).
+    x: [R, N] u32 in [0, 2p).  ttw/ttws: [1, N] row-twist (lane b*128+o
+    holds T_b[o]; 2-D for the same Mosaic gather rule as `_fwd_ntt_mxu`).
+    w: [512, 512] int8 limb matrix of Mi0.  Output exact in [0, p).
     """
     S = N.bit_length() - 1
     R = x.shape[0]
@@ -351,8 +353,8 @@ def _inv_ntt_mxu(x, itw, itws, ttw, ttws, w, p: int, s256: int, N: int):
         for i in (2, 1, 0):
             t_ = _shoup_lazy(t_, _U32(256), _U32(s256), p) + q[i]
         # final reduction doubles as the per-block row twist
-        twb = jnp.broadcast_to(ttw[None, b * BLK:(b + 1) * BLK], (R, BLK))
-        twsb = jnp.broadcast_to(ttws[None, b * BLK:(b + 1) * BLK], (R, BLK))
+        twb = jnp.broadcast_to(ttw[:, b * BLK:(b + 1) * BLK], (R, BLK))
+        twsb = jnp.broadcast_to(ttws[:, b * BLK:(b + 1) * BLK], (R, BLK))
         outs.append(_shoup_lazy(t_, twb, twsb, p))
     x = jnp.concatenate(outs, axis=1)
     # head stages, spans >= 128: tile-sliced butterflies as in _inv_ntt
@@ -729,7 +731,8 @@ def _ntt_mul_acc_keyfn(kp: PBSKernelPlan, dig_ref, spec_ref, ftw_ref,
             r = jnp.where(d_all < 0, d_all + jnp.int32(p),
                           d_all).astype(_U32)
             s_all = _fwd_ntt_mxu(r, ftw_ref[p_i], ftws_ref[p_i],
-                                 tw_ref[p_i], tws_ref[p_i], w_ref[p_i],
+                                 tw_ref[p_i:p_i + 1], tws_ref[p_i:p_i + 1],
+                                 w_ref[p_i],
                                  p, kp.s256[p_i], kp.red1[p_i],
                                  N).reshape(nrows, bt, N)
             for j in range(nrows):
@@ -784,8 +787,8 @@ def _inv_ntts(kp: PBSKernelPlan, spec_ref, itw_ref, itws_ref, liota,
             xs = jnp.concatenate([spec_ref[c, p_i] for c in range(C)],
                                  axis=0)
             y = _inv_ntt_mxu(xs, itw_ref[p_i], itws_ref[p_i],
-                             itwr_ref[p_i], itwrs_ref[p_i], iw_ref[p_i],
-                             p, kp.s256[p_i], N)
+                             itwr_ref[p_i:p_i + 1], itwrs_ref[p_i:p_i + 1],
+                             iw_ref[p_i], p, kp.s256[p_i], N)
             for c in range(C):
                 out[c][p_i] = y[c * bt:(c + 1) * bt]
         return out
@@ -1297,7 +1300,8 @@ def _make_finish_step_kernel(kp: PBSKernelPlan, n_sub: int):
                 xs = jnp.concatenate([red[c][p_i] for c in range(C)],
                                      axis=0)
                 y = _inv_ntt_mxu(xs, itw_ref[p_i], itws_ref[p_i],
-                                 itwr_ref[p_i], itwrs_ref[p_i],
+                                 itwr_ref[p_i:p_i + 1],
+                                 itwrs_ref[p_i:p_i + 1],
                                  iw_ref[p_i], p, kp.s256[p_i], N)
                 for c in range(C):
                     ts_all[c][p_i] = y[c * bt:(c + 1) * bt]
@@ -1840,8 +1844,11 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
         copies = []
         for r in range(bt):
             idx = kidx_ref[i * bt + r]
+            # jnp.int32(r): a python-int index would be i64 under x64
+            # mode and fail Mosaic's memref_slice verification
             cp = pltpu.make_async_copy(
-                ak_ref.at[idx], key_scr.at[:, :, :, r], sems.at[r])
+                ak_ref.at[idx], key_scr.at[:, :, :, jnp.int32(r)],
+                sems.at[jnp.int32(r)])
             cp.start()
             copies.append(cp)
 
@@ -2031,7 +2038,8 @@ def _make_phase1_kernel(kp: PBSKernelPlan, M: int):
                             kp, p_i))
                     yall = _fwd_ntt_mxu(
                         jnp.concatenate(rows, axis=0), ftw_ref[p_i],
-                        ftws_ref[p_i], tw_ref[p_i], tws_ref[p_i],
+                        ftws_ref[p_i], tw_ref[p_i:p_i + 1],
+                        tws_ref[p_i:p_i + 1],
                         w_ref[p_i], p, kp.s256[p_i], kp.red1[p_i], N)
                     for r in range(J):
                         for c in range(C):
@@ -2225,7 +2233,8 @@ def _make_unfolded_kernel(kp: PBSKernelPlan, M: int):
                             kp, p_i))
                     yall = _fwd_ntt_mxu(
                         jnp.concatenate(rows, axis=0), ftw_ref[p_i],
-                        ftws_ref[p_i], tw_ref[p_i], tws_ref[p_i],
+                        ftws_ref[p_i], tw_ref[p_i:p_i + 1],
+                        tws_ref[p_i:p_i + 1],
                         w_ref[p_i], p, kp.s256[p_i], kp.red1[p_i], N)
                     for r in range(J):
                         for c in range(C):
