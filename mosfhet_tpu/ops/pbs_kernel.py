@@ -352,11 +352,16 @@ def _inv_ntt_mxu(x, itw, itws, ttw, ttws, w, p: int, s256: int, N: int):
         t_ = q[3]
         for i in (2, 1, 0):
             t_ = _shoup_lazy(t_, _U32(256), _U32(s256), p) + q[i]
-        # final reduction doubles as the per-block row twist
-        twb = jnp.broadcast_to(ttw[:, b * BLK:(b + 1) * BLK], (R, BLK))
-        twsb = jnp.broadcast_to(ttws[:, b * BLK:(b + 1) * BLK], (R, BLK))
-        outs.append(_shoup_lazy(t_, twb, twsb, p))
-    x = jnp.concatenate(outs, axis=1)
+        outs.append(t_)
+    # One full-width Shoup applies the per-block row twist AND the final
+    # reduction (Shoup-lazy takes any u32 multiplicand).  Per-block
+    # twist slices ttw[:, b*128:(b+1)*128] would carry a lane offset of
+    # 128 into the (1,128)->(R,128) broadcast, which the Mosaic layout
+    # pass rejects ("Invalid input layout"); the full-width row is
+    # offset-0 and broadcasts fine.
+    x = _shoup_lazy(jnp.concatenate(outs, axis=1),
+                    jnp.broadcast_to(ttw, (R, N)),
+                    jnp.broadcast_to(ttws, (R, N)), p)
     # head stages, spans >= 128: tile-sliced butterflies as in _inv_ntt
     for s in range(7, S):
         t = 1 << s
@@ -1231,7 +1236,11 @@ def partial_step_tiles(acc_tiles, a_tiles, j0, keyv, keyvs,
     S = N.bit_length() - 1
     kernel = _make_partial_step_kernel(kp, j_local)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
+        # explicit i32 index map: a bare SMEM spec gets an auto-
+        # synthesized map whose constants are i64 under x64 mode, and
+        # Mosaic fails to legalize the i64 func.return
+        pl.BlockSpec((1,), lambda i: (i * 0,),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, nl, C, bt, N),
                      lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                      memory_space=pltpu.VMEM),
