@@ -149,6 +149,9 @@ def main():
         "vs_baseline": round(thr / 24.4, 2),
         "batch": batch,
         "decrypt_ok": ok,
+        # active NTT prime set — makes ablation legs (e.g.
+        # MOSFHET_NTT_PRIMES=narrow) self-documenting in the results
+        "primes": list(int(q) for q in bk.primes),
     }
 
     # -- MXU-NTT leg (MOSFHET_NTT_MXU plan): same program, the NTT tails
