@@ -9,6 +9,14 @@ trgsw_mul, registers, circuit bootstrap, FDFB KS21/CLOT21 and the TRGSW
 bootstrap fail under l=1 / Bg=23; PBS and fdfb_this_work pass
 (BASELINE.md, reference README:83).
 
+Memory discipline (one 16 GiB chip): the packing1 / priv-SK tables are
+7.5-9.4 GiB dense at L2/SET_3, so those sets use seeded keys (half size)
+with the streamed expand-on-select apply — and even seeded, the two keys
+only coexist for the one op that needs both (circuit bootstrap v1); each
+is deleted the moment its last op ran.  Every op is individually guarded
+so an OOM reports that op and moves on, and each parameter set runs in
+its own subprocess so a wedged TPU client cannot poison the next set.
+
 Prints one JSON line per (set, op): {"set", "op", "ok", "detail"}.
 """
 
@@ -55,9 +63,6 @@ def run_set(set_name):
         kk[5], key_trlwe)
 
     def try_key(name, fn):
-        # packing1/priv-SK tables are O(N * t * base * k * N) TRLWEs —
-        # 9.4 GiB each at SET_3 (N=4096): genuinely larger than one
-        # chip's HBM, so the ops needing them report that instead
         try:
             v = fn()
             jax.block_until_ready(jax.tree.leaves(v)[0])
@@ -67,45 +72,38 @@ def run_set(set_name):
                 f"({type(ex).__name__}) — dependent ops skipped")
             return None
 
-    # small keys first: a failed multi-GiB allocation can leave the
-    # remote allocator unable to serve later (smaller) requests
-    pair = try_key("priv_pair", lambda: jax.jit(
-        lambda r, a, b: ks.new_priv_ks_key_pair(
-            r, a, b, p.t, p.base_bit))(kk[8], key_trlwe, key_trlwe))
     tksk = try_key("tlwe_ks", lambda: jax.jit(
         lambda r, a, b: tlwe.new_ks_key(
             r, a, b, p.t, p.base_bit))(kk[9], key_tlwe, key_out))
-    # packing1 / priv-SK tables reach 7.5-9.4 GiB at L2/SET_3: they fit
-    # one at a time but not together, so generate them STAGED around the
-    # ops that need them (circuit BS needs both at once — only possible
-    # with streamed compressed keys; reported as such when big)
     tab_bytes = (p.k * p.N) * p.t * ((1 << p.base_bit) - 1) \
         * (p.k + 1) * p.N * 8
     big_keys = tab_bytes > 6 << 30
-    gen_ksk1 = lambda: try_key("packing1", lambda: jax.jit(
-        lambda r, ok, ik: ks.new_packing1_ks_key(
-            r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
-    gen_kska = lambda: try_key("priv_sk", lambda: jax.jit(
-        lambda r, ok, ik: ks.new_priv_sk_ks_key(
-            r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
     if big_keys:
-        # dense tables exceed one chip's HBM; the seeded keys store only
-        # (seed, b) at half the size and the apply expands the selected
-        # entries on the fly (`keyswitch._gather_subtract_streamed`, the
-        # reference's USE_COMPRESSED_TRLWE mechanism)
         log(f"# {set_name}: packing1/priv_sk dense tables "
             f"{tab_bytes/2**30:.1f} GiB > HBM — seeded keys with "
-            f"streamed (expand-on-select) apply")
-        ksk1 = try_key("packing1_seeded", lambda: jax.jit(
-            lambda r, ok, ik: ks.new_packing1_ks_key_seeded(
+            f"streamed (expand-on-select) apply, staged lifetimes")
+
+    def gen_ksk1():
+        if big_keys:
+            return try_key("packing1_seeded", lambda: jax.jit(
+                lambda r, ok, ik: ks.new_packing1_ks_key_seeded(
+                    r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe,
+                                                 key_out))
+        return try_key("packing1", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_packing1_ks_key(
                 r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
-        kska = try_key("priv_sk_seeded", lambda: jax.jit(
-            lambda r, ok, ik: ks.new_priv_sk_ks_key_seeded(
+
+    def gen_kska():
+        if big_keys:
+            return try_key("priv_sk_seeded", lambda: jax.jit(
+                lambda r, ok, ik: ks.new_priv_sk_ks_key_seeded(
+                    r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe,
+                                                 key_out))
+        return try_key("priv_sk", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_priv_sk_ks_key(
                 r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
-    else:
-        ksk1 = gen_ksk1()
-        kska = gen_kska()
-    log(f"# {set_name}: keys {time.time()-t0:.0f}s")
+
+    log(f"# {set_name}: base keys {time.time()-t0:.0f}s")
 
     rows = []
 
@@ -115,160 +113,204 @@ def run_set(set_name):
         log(f"# {set_name:10s} {op:22s} {'pass' if ok else 'FAIL'} "
             f"({detail})")
 
+    def guarded(op, fn):
+        """Run one op; an exception (incl. OOM) reports FAIL and moves
+        on instead of aborting the set."""
+        try:
+            fn()
+        except Exception as ex:
+            report(op, False, f"{type(ex).__name__}: {ex}"[:80])
+        import gc
+        gc.collect()
+
     luts = rng.uniform_torus(kk[3], (4,))
     tv = trlwe.torus_packing(luts, p.k, p.N)
     ms = torus.double2torus(jnp.arange(4) / 8.0)
     cs = jax.jit(lambda m, r: tlwe.encrypt(m, key_tlwe, r))(ms, kk[4])
 
-    # pbs
-    out = jax.jit(lambda tv, c, bk: bootstrap.functional_bootstrap(
-        tv, c, bk, 4))(tv, cs, bk)
-    e = _err(luts, tlwe.phase(out, key_out))
-    report("pbs", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
+    # ---- ops needing no multi-GiB KS keys -------------------------------
 
-    # tlwe_mul
-    in1, in2 = 5, 11
-    c1 = tlwe.encrypt(torus.int2torus(jnp.uint64(in1), 4), key_out,
-                      jax.random.fold_in(KEY, 11))
-    c2 = tlwe.encrypt(torus.int2torus(jnp.uint64(in2), 4), key_out,
-                      jax.random.fold_in(KEY, 12))
-    if ksk1 is not None:
-        om = jax.jit(lambda a, b, k1, k2: product.tlwe_mul(
-            a, b, 4, k1, k2))(c1, c2, ksk1, rlk)
-        res = int(torus.torus2int(tlwe.phase(om, key_out), 4)) % 16
-        report("tlwe_mul", res == (in1 * in2) % 16, f"digit {res}")
-    else:
-        report("tlwe_mul", False, "packing1 key > HBM")
+    def op_pbs():
+        out = jax.jit(lambda tv, c, bk: bootstrap.functional_bootstrap(
+            tv, c, bk, 4))(tv, cs, bk)
+        e = _err(luts, tlwe.phase(out, key_out))
+        report("pbs", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
+    guarded("pbs", op_pbs)
 
-    # trgsw_mul + reg_sub (exponent oracle)
-    g1 = trgsw.monomial_encrypt(1, 5, gk, jax.random.fold_in(KEY, 13))
-    g2 = trgsw.monomial_encrypt(1, 3, gk, jax.random.fold_in(KEY, 14))
-    prod = jax.jit(lambda a, b: trgsw.mul_trgsw_dft(
-        a, trgsw.to_dft(b, gk.plan())))(g1, g2)
-    eexp = int(jax.jit(lambda g: trgsw.debug_decrypt_exp_dft(g, gk))(prod))
-    report("trgsw_mul", eexp == 8, f"exp {eexp}")
-    r1 = trgsw.reg_encrypt(9, gk, jax.random.fold_in(KEY, 15))
-    r2 = trgsw.reg_encrypt(4, gk, jax.random.fold_in(KEY, 16))
-    rs = jax.jit(trgsw.reg_sub)(r1, r2)
-    eexp = int(jax.jit(lambda g: trgsw.debug_decrypt_exp_dft(g, gk))(
-        rs.positive))
-    report("trgsw_reg_sub", eexp == 5, f"exp {eexp}")
+    def op_trgsw_mul():
+        g1 = trgsw.monomial_encrypt(1, 5, gk, jax.random.fold_in(KEY, 13))
+        g2 = trgsw.monomial_encrypt(1, 3, gk, jax.random.fold_in(KEY, 14))
+        prod = jax.jit(lambda a, b: trgsw.mul_trgsw_dft(
+            a, trgsw.to_dft(b, gk.plan())))(g1, g2)
+        eexp = int(jax.jit(lambda g: trgsw.debug_decrypt_exp_dft(
+            g, gk))(prod))
+        report("trgsw_mul", eexp == 8, f"exp {eexp}")
+    guarded("trgsw_mul", op_trgsw_mul)
 
-    # circuit bootstrap v1 (k=1 only)
-    m0 = rng.uniform_torus(jax.random.fold_in(KEY, 17), (p.N,))
-    ctrl = trlwe.encrypt(m0, key_trlwe, jax.random.fold_in(KEY, 18))
-    cb = tlwe.encrypt(torus.double2torus(1 / 4.0), key_tlwe,
-                      jax.random.fold_in(KEY, 19))
+    def op_reg_sub():
+        r1 = trgsw.reg_encrypt(9, gk, jax.random.fold_in(KEY, 15))
+        r2 = trgsw.reg_encrypt(4, gk, jax.random.fold_in(KEY, 16))
+        rs = jax.jit(trgsw.reg_sub)(r1, r2)
+        eexp = int(jax.jit(lambda g: trgsw.debug_decrypt_exp_dft(g, gk))(
+            rs.positive))
+        report("trgsw_reg_sub", eexp == 5, f"exp {eexp}")
+    guarded("trgsw_reg_sub", op_reg_sub)
 
-    def cb_fn(c, bk, kska, kskb, ctrl):
-        g = bootstrap.circuit_bootstrap(c, bk, kska, kskb, p.l, p.Bg_bit)
-        return trgsw.external_product(ctrl, trgsw.to_dft(g, gk.plan()))
-    if kska is not None and ksk1 is not None:
-        out = jax.jit(cb_fn)(cb, bk, kska, ksk1, ctrl)
-        e = _err(m0, trlwe.phase(out, key_trlwe))
-        report("circuit_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
-    else:
-        report("circuit_bootstrap", False, "KS keys > HBM")
+    def op_trgsw_bootstrap():
+        cm = tlwe.encrypt(torus.double2torus(2 / 8.0), key_tlwe,
+                          jax.random.fold_in(KEY, 26))
 
-    # fdfb_ks21
-    luts8 = rng.uniform_torus(jax.random.fold_in(KEY, 20), (8,))
-    if p.N % (8 * p.l) == 0 or True:
-        tvp = jnp.repeat(luts8, (2 * p.N) // 8)
-        cm = tlwe.encrypt(torus.int2torus(jnp.uint64(5), 3), key_tlwe,
-                          jax.random.fold_in(KEY, 21))
-        try:
-            assert ksk1 is not None, "packing1 key > HBM"
-            out = jax.jit(lambda tvp, c, bk, k_: bootstrap.fdfb_ks21(
-                tvp, c, bk, k_, 8))(tvp, cm, bk, ksk1)
-            e = _err(luts8[5], tlwe.phase(out, key_out))
-            report("fdfb_ks21", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
-        except Exception as ex:
-            report("fdfb_ks21", False, f"{type(ex).__name__}: {ex}"[:60])
+        def tb_fn(c, bk, tv):
+            g = bootstrap.functional_bootstrap_trgsw_phase1(
+                c, bk, 4, p.l, p.Bg_bit)
+            return bootstrap.functional_bootstrap_trgsw_phase2(g, tv)
+        out = jax.jit(tb_fn)(cm, bk, tv)
+        e = _err(luts[2], tlwe.phase(out, key_out))
+        report("trgsw_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
+    guarded("trgsw_bootstrap", op_trgsw_bootstrap)
 
-    # fdfb_clot21
-    lutsq = torus.int2torus(
-        rng.uniform_torus(jax.random.fold_in(KEY, 22), (8,))
-        & jnp.uint64(15), 4)
-    tv0 = trlwe.torus_packing(lutsq[:4], p.k, p.N)
-    tv1 = trlwe.torus_packing(lutsq[4:], p.k, p.N)
-    cm = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe,
-                      jax.random.fold_in(KEY, 23))
-    if ksk1 is not None:
-        out = jax.jit(lambda a, b, c, bk, k1, k2: bootstrap.fdfb_clot21(
-            a, b, c, bk, k1, k2, 4))(tv0, tv1, cm, bk, ksk1, rlk)
-        e = _err(lutsq[6], tlwe.phase(out, key_out))
-        report("fdfb_clot21", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
-    else:
-        report("fdfb_clot21", False, "packing1 key > HBM")
-
-    # fdfb_this_work
-    luts8b = rng.uniform_torus(jax.random.fold_in(KEY, 24), (8,))
-    tvm = trlwe.torus_packing_many_lut(luts8b, 4, 2, p.k, p.N)
-    cm = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe,
-                      jax.random.fold_in(KEY, 25))
-    if tksk is not None:
+    def op_fdfb_this_work():
+        luts8b = rng.uniform_torus(jax.random.fold_in(KEY, 24), (8,))
+        tvm = trlwe.torus_packing_many_lut(luts8b, 4, 2, p.k, p.N)
+        cm = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe,
+                          jax.random.fold_in(KEY, 25))
+        assert tksk is not None, "tlwe KS key > HBM"
         out = jax.jit(lambda tv, c, bk, k_: bootstrap.fdfb_this_work(
             tv, c, bk, k_, 3))(tvm, cm, bk, tksk)
         e = _err(luts8b[6], tlwe.phase(out, key_out))
         report("fdfb_this_work", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
-    else:
-        report("fdfb_this_work", False, "tlwe KS key > HBM")
+    guarded("fdfb_this_work", op_fdfb_this_work)
 
-    # trgsw bootstrap
-    cm = tlwe.encrypt(torus.double2torus(2 / 8.0), key_tlwe,
-                      jax.random.fold_in(KEY, 26))
-
-    def tb_fn(c, bk, tv):
-        g = bootstrap.functional_bootstrap_trgsw_phase1(c, bk, 4, p.l,
-                                                        p.Bg_bit)
-        return bootstrap.functional_bootstrap_trgsw_phase2(g, tv)
-    out = jax.jit(tb_fn)(cm, bk, tv)
-    e = _err(luts[2], tlwe.phase(out, key_out))
-    report("trgsw_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
-
-    # priv_ks pair
-    from mosfhet_tpu import polynomial as poly
-    mm = rng.uniform_torus(jax.random.fold_in(KEY, 27), (p.N,))
-    cc = trlwe.encrypt(mm, key_trlwe, jax.random.fold_in(KEY, 28))
-    if pair is not None:
+    def op_priv_ks():
+        from mosfhet_tpu import polynomial as poly
+        pair = try_key("priv_pair", lambda: jax.jit(
+            lambda r, a, b: ks.new_priv_ks_key_pair(
+                r, a, b, p.t, p.base_bit))(kk[8], key_trlwe, key_trlwe))
+        assert pair is not None, "priv pair key > HBM"
+        mm = rng.uniform_torus(jax.random.fold_in(KEY, 27), (p.N,))
+        cc = trlwe.encrypt(mm, key_trlwe, jax.random.fold_in(KEY, 28))
         out = jax.jit(ks.priv_keyswitch_2)(cc, pair)
         want = (jnp.uint64(0) - poly.ntt_mul_small(
-            jnp.asarray(key_trlwe.s[0], jnp.int32), mm, key_trlwe.plan()))
+            jnp.asarray(key_trlwe.s[0], jnp.int32), mm,
+            key_trlwe.plan()))
         e = _err(want, trlwe.phase(out, key_trlwe))
         report("priv_ks", e <= 2.0**50, f"2^{math.log2(e+1):.1f}")
-    else:
-        report("priv_ks", False, "priv pair key > HBM")
+    guarded("priv_ks", op_priv_ks)
 
-    # GA bootstrap (envelope: n < 2N/torus_base)
-    try:
+    # ---- ops needing the packing1 table (generated once, freed last) ----
+    ksk1 = gen_ksk1()
+
+    def op_tlwe_mul():
+        in1, in2 = 5, 11
+        c1 = tlwe.encrypt(torus.int2torus(jnp.uint64(in1), 4), key_out,
+                          jax.random.fold_in(KEY, 11))
+        c2 = tlwe.encrypt(torus.int2torus(jnp.uint64(in2), 4), key_out,
+                          jax.random.fold_in(KEY, 12))
+        assert ksk1 is not None, "packing1 key > HBM"
+        om = jax.jit(lambda a, b, k1, k2: product.tlwe_mul(
+            a, b, 4, k1, k2))(c1, c2, ksk1, rlk)
+        res = int(torus.torus2int(tlwe.phase(om, key_out), 4)) % 16
+        report("tlwe_mul", res == (in1 * in2) % 16, f"digit {res}")
+    guarded("tlwe_mul", op_tlwe_mul)
+
+    def op_fdfb_ks21():
+        luts8 = rng.uniform_torus(jax.random.fold_in(KEY, 20), (8,))
+        tvp = jnp.repeat(luts8, (2 * p.N) // 8)
+        cm = tlwe.encrypt(torus.int2torus(jnp.uint64(5), 3), key_tlwe,
+                          jax.random.fold_in(KEY, 21))
+        assert ksk1 is not None, "packing1 key > HBM"
+        out = jax.jit(lambda tvp, c, bk, k_: bootstrap.fdfb_ks21(
+            tvp, c, bk, k_, 8))(tvp, cm, bk, ksk1)
+        e = _err(luts8[5], tlwe.phase(out, key_out))
+        report("fdfb_ks21", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
+    guarded("fdfb_ks21", op_fdfb_ks21)
+
+    def op_fdfb_clot21():
+        lutsq = torus.int2torus(
+            rng.uniform_torus(jax.random.fold_in(KEY, 22), (8,))
+            & jnp.uint64(15), 4)
+        tv0 = trlwe.torus_packing(lutsq[:4], p.k, p.N)
+        tv1 = trlwe.torus_packing(lutsq[4:], p.k, p.N)
+        cm = tlwe.encrypt(torus.int2torus(jnp.uint64(6), 3), key_tlwe,
+                          jax.random.fold_in(KEY, 23))
+        assert ksk1 is not None, "packing1 key > HBM"
+        out = jax.jit(lambda a, b, c, bk, k1, k2: bootstrap.fdfb_clot21(
+            a, b, c, bk, k1, k2, 4))(tv0, tv1, cm, bk, ksk1, rlk)
+        e = _err(lutsq[6], tlwe.phase(out, key_out))
+        report("fdfb_clot21", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
+    guarded("fdfb_clot21", op_fdfb_clot21)
+
+    # ---- circuit bootstrap: the ONE op needing packing1 + priv-SK at
+    # once (`bootstrap.c:309-322`) — generate priv-SK last, free both
+    # immediately after
+    kska = gen_kska()
+
+    def op_circuit_bootstrap():
+        m0 = rng.uniform_torus(jax.random.fold_in(KEY, 17), (p.N,))
+        ctrl = trlwe.encrypt(m0, key_trlwe, jax.random.fold_in(KEY, 18))
+        cb = tlwe.encrypt(torus.double2torus(1 / 4.0), key_tlwe,
+                          jax.random.fold_in(KEY, 19))
+
+        def cb_fn(c, bk, kska, kskb, ctrl):
+            g = bootstrap.circuit_bootstrap(c, bk, kska, kskb, p.l,
+                                            p.Bg_bit)
+            return trgsw.external_product(ctrl, trgsw.to_dft(g, gk.plan()))
+        assert kska is not None and ksk1 is not None, "KS keys > HBM"
+        out = jax.jit(cb_fn)(cb, bk, kska, ksk1, ctrl)
+        e = _err(m0, trlwe.phase(out, key_trlwe))
+        report("circuit_bootstrap", e <= 2.0**59,
+               f"2^{math.log2(e+1):.1f}")
+    guarded("circuit_bootstrap", op_circuit_bootstrap)
+    del kska, ksk1
+
+    # ---- GA bootstrap (envelope: n < 2N/torus_base) ---------------------
+    def op_ga():
         bkg = jax.jit(lambda r, k_: bootstrap_ga.new_key(r, gk, k_))(
             jax.random.fold_in(KEY, 29), key_tlwe)
         jax.block_until_ready(bkg.ak_v)
         cm = tlwe.encrypt(torus.double2torus(3 / 8.0), key_tlwe,
                           jax.random.fold_in(KEY, 30))
-        out = jax.jit(lambda tv, c, bk: bootstrap_ga.functional_bootstrap_ga(
-            tv, c, bk, 4))(tv, cm, bkg)
+        out = jax.jit(
+            lambda tv, c, bk: bootstrap_ga.functional_bootstrap_ga(
+                tv, c, bk, 4))(tv, cm, bkg)
         e = _err(luts[3], tlwe.phase(out, key_out))
         report("ga_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
-        del bkg
-    except Exception as ex:
-        report("ga_bootstrap", False, f"{type(ex).__name__}")
+    guarded("ga_bootstrap", op_ga)
 
     return rows
 
 
 def main():
+    child = os.environ.get("MATRIX_CHILD")
+    if child:
+        for r in run_set(child):
+            print(json.dumps(r), flush=True)
+        return
+
+    # parent: one subprocess per set (sequential — the axon tunnel serves
+    # one client at a time; the parent never creates one), so an OOM-
+    # wedged client in one set cannot poison the next
+    import subprocess
     sets = os.environ.get("MATRIX_SETS", "SET_1,SET_2,SET_3,TFHEPP_L2")
+    tmo = int(os.environ.get("MATRIX_SET_TIMEOUT", "7000"))
     all_rows = []
     for s in sets.split(","):
+        env = dict(os.environ, MATRIX_CHILD=s)
         try:
-            all_rows.extend(run_set(s))
-        except Exception as ex:
-            log(f"# {s} aborted: {type(ex).__name__}: {ex}")
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=tmo)
+            sys.stderr.write(r.stderr)
+            got = [json.loads(x) for x in r.stdout.splitlines()
+                   if x.startswith("{")]
+            if not got:
+                got = [{"set": s, "op": "__aborted__", "ok": False,
+                        "detail": f"exit {r.returncode}: "
+                                  f"{r.stderr.strip()[-120:]}"}]
+            all_rows.extend(got)
+        except subprocess.TimeoutExpired:
             all_rows.append({"set": s, "op": "__aborted__", "ok": False,
-                             "detail": str(ex)[:120]})
-        import gc
-        gc.collect()
+                             "detail": f"timeout {tmo}s"})
     for r in all_rows:
         print(json.dumps(r))
 
