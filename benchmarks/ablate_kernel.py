@@ -33,7 +33,12 @@ def make_ablated_step(kp, skip=()):
     bt = kp.bt
 
     def kernel(acc_ref, a_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
-               itw_ref, itws_ref, out_ref, dig_ref, spec_ref):
+               itw_ref, itws_ref, *rest):
+        if kp.use_mxu:
+            tw_ref, tws_ref, w_ref, itwr_ref, itwrs_ref, iw_ref = rest[:6]
+            out_ref, dig_ref, spec_ref = rest[6:]
+        else:
+            out_ref, dig_ref, spec_ref = rest
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         a_col = a_ref[0]
         acc = []
@@ -59,40 +64,87 @@ def make_ablated_step(kp, skip=()):
             for p in range(P):
                 spec_ref[c, p] = jnp.zeros((bt, N), _U32)
 
-        def body(j, carryv):
-            d = dig_ref[j]
+        if kp.use_mxu:
+            # mirror `_ntt_mul_acc`'s MXU branch: one batched int8
+            # contraction over all J rows per prime, then a statically
+            # unrolled accumulate
+            d_all = dig_ref[:J].reshape(J * bt, N)
             for p_i in range(P):
                 p = kp.primes[p_i]
-                r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                r = jnp.where(d_all < 0, d_all + jnp.int32(p),
+                              d_all).astype(_U32)
                 if "fwd" in skip:
-                    s_ = r
+                    s_all = r.reshape(J, bt, N)
                 else:
-                    s_ = pk._fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i], liota,
-                                     p, N)
-                for c in range(C):
-                    if "acc" in skip:
-                        spec_ref[c, p_i] = s_
-                        continue
-                    kv = jnp.broadcast_to(
-                        keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    ks = jnp.broadcast_to(
-                        keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
-                    prod = pk._shoup_lazy(s_, kv, ks, p)
-                    spec_ref[c, p_i] = pk._cond_sub(
-                        spec_ref[c, p_i] + prod, 2 * p)
-            return carryv
+                    s_all = pk._fwd_ntt_mxu(
+                        r, ftw_ref[p_i], ftws_ref[p_i],
+                        tw_ref[p_i:p_i + 1], tws_ref[p_i:p_i + 1],
+                        w_ref[p_i], p, kp.s256[p_i], kp.red1[p_i],
+                        N).reshape(J, bt, N)
+                for j in range(J):
+                    for c in range(C):
+                        if "acc" in skip:
+                            spec_ref[c, p_i] = s_all[j]
+                            continue
+                        kv = jnp.broadcast_to(
+                            keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                        ks = jnp.broadcast_to(
+                            keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                        prod = pk._shoup_lazy(s_all[j], kv, ks, p)
+                        spec_ref[c, p_i] = pk._cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+        else:
+            def body(j, carryv):
+                d = dig_ref[j]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    r = jnp.where(d < 0, d + jnp.int32(p), d).astype(_U32)
+                    if "fwd" in skip:
+                        s_ = r
+                    else:
+                        s_ = pk._fwd_ntt(r, ftw_ref[p_i], ftws_ref[p_i],
+                                         liota, p, N)
+                    for c in range(C):
+                        if "acc" in skip:
+                            spec_ref[c, p_i] = s_
+                            continue
+                        kv = jnp.broadcast_to(
+                            keyv_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                        ks = jnp.broadcast_to(
+                            keyvs_ref[j, c, p_i:p_i + 1, :], (bt, N))
+                        prod = pk._shoup_lazy(s_, kv, ks, p)
+                        spec_ref[c, p_i] = pk._cond_sub(
+                            spec_ref[c, p_i] + prod, 2 * p)
+                return carryv
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body, jnp.int32(0))
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(J), body,
+                              jnp.int32(0))
+
+        ts_all = [[None] * P for _ in range(C)]
+        if "inv" in skip:
+            for c in range(C):
+                for p_i in range(P):
+                    ts_all[c][p_i] = spec_ref[c, p_i]
+        elif kp.use_mxu:
+            for p_i in range(P):
+                p = kp.primes[p_i]
+                xs = jnp.concatenate([spec_ref[c, p_i] for c in range(C)],
+                                     axis=0)
+                y = pk._inv_ntt_mxu(xs, itw_ref[p_i], itws_ref[p_i],
+                                    itwr_ref[p_i:p_i + 1],
+                                    itwrs_ref[p_i:p_i + 1],
+                                    iw_ref[p_i], p, kp.s256[p_i], N)
+                for c in range(C):
+                    ts_all[c][p_i] = y[c * bt:(c + 1) * bt]
+        else:
+            for c in range(C):
+                for p_i in range(P):
+                    ts_all[c][p_i] = pk._inv_ntt(
+                        spec_ref[c, p_i], itw_ref[p_i], itws_ref[p_i],
+                        liota, kp.primes[p_i], N)
 
         for c in range(C):
-            ts = []
-            for p_i in range(P):
-                p = kp.primes[p_i]
-                if "inv" in skip:
-                    ts.append(spec_ref[c, p_i])
-                else:
-                    ts.append(pk._inv_ntt(spec_ref[c, p_i], itw_ref[p_i],
-                                          itws_ref[p_i], liota, p, N))
+            ts = ts_all[c]
             if "garner" in skip:
                 dlo, dhi = ts[0], ts[1 % P]
             else:
@@ -111,6 +163,9 @@ def run_variant(name, skip, kp, acc0, a_scan, kv, kvs, n, reps=2):
     S = N.bit_length() - 1
     nb = acc0.shape[0] // bt
     kernel = make_ablated_step(kp, skip)
+
+    mxu_specs = pk._mxu_specs(kp) if kp.use_mxu else []
+    mxu_args = pk._mxu_args(kp) if kp.use_mxu else []
 
     def step_call(tiles, ai, v, vs):
         return pl.pallas_call(
@@ -137,7 +192,7 @@ def run_variant(name, skip, kp, acc0, a_scan, kv, kvs, n, reps=2):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, S + 1, N), lambda i: (i * 0, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + mxu_specs,
             out_specs=pl.BlockSpec((1, nl, C, bt, N),
                                    lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                                    memory_space=pltpu.VMEM),
@@ -148,7 +203,7 @@ def run_variant(name, skip, kp, acc0, a_scan, kv, kvs, n, reps=2):
             input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(tiles, ai, v, vs, kp.ftw, kp.ftws, kp.itw, kp.itws)
+        )(tiles, ai, v, vs, kp.ftw, kp.ftws, kp.itw, kp.itws, *mxu_args)
 
     @jax.jit
     def scan(acc0, a_scan, kv, kvs):
@@ -181,7 +236,9 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "256"))
     primes = _ntt.primes_for_bound(_ntt.conv_bound(N, 1 << (Bg_bit - 1),
                                                    (k + 1) * l))
-    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k)   # MOSFHET_NTT_MXU aware
+    print(json.dumps({"variant": "__plan__",
+                      "ntt": "mxu" if kp.use_mxu else "roll"}), flush=True)
     rng = np.random.default_rng(1)
     acc0 = jnp.asarray(rng.integers(0, 1 << 64, (B, k + 1, N),
                                     dtype=np.uint64))

@@ -202,7 +202,7 @@ def _fwd_ntt(x, ftw, ftws, liota, p: int, N: int, lazy3: bool = False):
 
 
 def _fwd_ntt_mxu(x, ftw, ftws, tw, tws, w, p: int, s256: int, red1: int,
-                 N: int):
+                 N: int, lazy_out: bool = False):
     """Forward negacyclic NTT with the sub-128 stage tail on the MXU.
 
     Mathematically identical (mod p) to `_fwd_ntt`: stages whose butterfly
@@ -247,11 +247,12 @@ def _fwd_ntt_mxu(x, ftw, ftws, tw, tws, w, p: int, s256: int, red1: int,
             parts.append(_cond_sub(u + vw, 2 * p))
             parts.append(_cond_sub(u + _U32(2 * p) - vw, 2 * p))
         x = jnp.concatenate(parts, axis=1)
-    # per-block column twist, fully reduced so the byte-limb split below
-    # (which adds 0x80808080) cannot overflow u32
+    # per-block column twist; the lazy result (< 2p) feeds the byte-limb
+    # split directly — 2p + 0x80808080 < 2^32 for every kernel prime
+    # (asserted at plan build), so no exact reduction is needed
     twr = jnp.broadcast_to(tw, (R, N))
     twsr = jnp.broadcast_to(tws, (R, N))
-    xt = _exact(_shoup_lazy(x, twr, twsr, p), p)          # < p < 2^30
+    xt = _shoup_lazy(x, twr, twsr, p)                     # < 2p
     outs = []
     for b in range(NB):
         xb = xt[:, b * BLK:(b + 1) * BLK] + _U32(0x80808080)
@@ -268,7 +269,11 @@ def _fwd_ntt_mxu(x, ftw, ftws, tw, tws, w, p: int, s256: int, red1: int,
         t_ = q[3]
         for i in (2, 1, 0):
             t_ = _shoup_lazy(t_, _U32(256), _U32(s256), p) + q[i]
-        outs.append(_shoup_lazy(t_, _U32(1), _U32(red1), p))
+        # lazy_out skips the final reduce-by-1: t_ < 3p + 2^23 < 2^32,
+        # fine wherever the next op is a Shoup multiply (any-u32
+        # multiplicand).  Barrett consumers need the reduced < 2p form.
+        outs.append(t_ if lazy_out
+                    else _shoup_lazy(t_, _U32(1), _U32(red1), p))
     return jnp.concatenate(outs, axis=1)
 
 
@@ -335,8 +340,9 @@ def _inv_ntt_mxu(x, itw, itws, ttw, ttws, w, p: int, s256: int, N: int):
     R = x.shape[0]
     BLK = 128
     NB = N // BLK
-    # fully reduce so the byte-limb split (adds 0x80808080) fits u32
-    xe = _exact(x, p)
+    # input contract is [0, 2p) and 2p + 0x80808080 < 2^32 for every
+    # kernel prime (asserted at plan build) — no exact reduction needed
+    xe = x
     outs = []
     for b in range(NB):
         xb = xe[:, b * BLK:(b + 1) * BLK] + _U32(0x80808080)
@@ -501,6 +507,10 @@ class PBSKernelPlan:
         S = N.bit_length() - 1
         s_head = S - 7
         P = self.P
+        # the MXU byte-limb split feeds LAZY (< 2p) values straight into
+        # the +0x80808080 balanced-digit trick — requires headroom:
+        assert 2 * max(self.primes) + 0x80808080 < (1 << 32), \
+            "MXU NTT needs 2p + 0x80808080 < 2^32 (p < ~1.0695e9)"
         plan = _ntt.get_plan(N, self.primes)
         psi = np.asarray(plan.psi_rev, np.uint64)            # [P, N]
         pp = np.array(self.primes, np.uint64)[None, :, None, None]
@@ -738,8 +748,9 @@ def _ntt_mul_acc_keyfn(kp: PBSKernelPlan, dig_ref, spec_ref, ftw_ref,
             s_all = _fwd_ntt_mxu(r, ftw_ref[p_i], ftws_ref[p_i],
                                  tw_ref[p_i:p_i + 1], tws_ref[p_i:p_i + 1],
                                  w_ref[p_i],
-                                 p, kp.s256[p_i], kp.red1[p_i],
-                                 N).reshape(nrows, bt, N)
+                                 p, kp.s256[p_i], kp.red1[p_i], N,
+                                 lazy_out=not barrett).reshape(
+                                     nrows, bt, N)
             for j in range(nrows):
                 for c in range(C):
                     spec_ref[c, p_i] = _cond_sub(
