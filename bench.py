@@ -34,7 +34,7 @@ def _run_torus32_leg():
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "bench_torus32.py")],
-            env=env, capture_output=True, text=True, timeout=2100)
+            env=env, capture_output=True, text=True, timeout=3000)
         lines = r.stdout.strip().splitlines()
         if not lines:
             raise RuntimeError(

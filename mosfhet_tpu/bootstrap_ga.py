@@ -274,6 +274,10 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
         # Barrett, halving the per-step key-gather traffic
         ak32 = bk.ak_v.astype(jnp.uint32)
         Jk = bk.k * bk.ks_t
+        # unit-minor DMA layout for the stream kernel (probe_dma.py) —
+        # flattened HERE, outside the scan, because the 5-D HBM form pads
+        # P to the sublane tile and the reshape is a physical copy
+        ak32f = ak32.reshape(ak32.shape[0], -1, 1, N)
 
         def _pad_rows(x):
             if pad:
@@ -306,7 +310,7 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
                 kidx_p = (jnp.concatenate(
                     [kidx, jnp.zeros((pad,), kidx.dtype)]) if pad else kidx)
                 out = _pk.auto_keyswitch_stream(
-                    _pad_rows(x), ak32, kidx_p, kp_ks, interpret=interp)
+                    _pad_rows(x), ak32f, kidx_p, kp_ks, interpret=interp)
             else:
                 kv = jnp.take(ak32, kidx, axis=0)   # [B, Jk, k+1, P, N]
                 out = _pk.auto_keyswitch(_pad_rows(x), _pad_rows(kv),

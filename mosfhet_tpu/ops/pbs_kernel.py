@@ -1840,7 +1840,15 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
     transpose) every step — the dominant residual of the GA bootstrap
     (`blind_rotate_ga`); here each grid step copies its bt rows' entries
     straight into VMEM, overlapped with the (key-independent) decompose
-    and forward NTTs."""
+    and forward NTTs.
+
+    Layout contract (probe_dma.py, measured on v5e): Mosaic rejects DMA
+    slices of extent < tile along a TILED (last-two) memref dim — both a
+    [.., P=3, N] src entry (P vs sublane tile 4) and a dst sliced at
+    sublane r (extent 1 vs tile 8).  The working form is the unit-minor
+    layout: src [G, Jk*C*P, 1, N], dst scratch [Jk*C*P, bt, 1, N] — the
+    last-two dims (1, N) make every sliced dim untiled; the consumer
+    reads [bt, N] rows from the (1, 128)-tiled scratch (probe B_read)."""
     N, P, C = kp.N, kp.P, kp.C
     t = kp.l
     k_in = C - 1
@@ -1849,8 +1857,8 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
 
     def kernel(kidx_ref, perm_ref, ak_ref, ftw_ref, ftws_ref,
                itw_ref, itws_ref, *rest):
-        # kidx_ref: [B] i32 (scalar prefetch); ak_ref: [G, Jk, C, P, N]
-        # u32 in HBM (ANY); key_scr: [Jk, C, P, bt, N] VMEM;
+        # kidx_ref: [B] i32 (scalar prefetch); ak_ref: [G, Jk*C*P, 1, N]
+        # u32 in HBM (ANY); key_scr: [Jk*C*P, bt, 1, N] VMEM;
         # sems: [bt] DMA semaphores
         if kp.use_mxu:
             mxu_refs = tuple(rest[:6])
@@ -1867,7 +1875,7 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
             # jnp.int32(r): a python-int index would be i64 under x64
             # mode and fail Mosaic's memref_slice verification
             cp = pltpu.make_async_copy(
-                ak_ref.at[idx], key_scr.at[:, :, :, jnp.int32(r)],
+                ak_ref.at[idx], key_scr.at[:, jnp.int32(r)],
                 sems.at[jnp.int32(r)])
             cp.start()
             copies.append(cp)
@@ -1897,7 +1905,8 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
 
         _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
                            liota, mxu_refs, Jk,
-                           lambda j, c, p_i: key_scr[j, c, p_i],
+                           lambda j, c, p_i: key_scr[
+                               (j * C + c) * P + p_i, :, 0],
                            barrett=True)
 
         ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
@@ -1930,7 +1939,9 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
     entries DMA-streamed per batch row (see `_make_auto_ks_stream_kernel`).
 
     perm: [B, C, N] torus; ak32: [G, Jk, C, P, N] u32 exact residues
-    (the FULL keyset); kidx: [B] i32 entry index per row.
+    (the FULL keyset — reshaped here to the unit-minor DMA layout
+    [G, Jk*C*P, 1, N], a free reshape of the same HBM bytes); kidx: [B]
+    i32 entry index per row.
     Returns [B, C, N] torus: (0, b) - sum dec(a) (x) key."""
     B, C, N = perm.shape
     t = kp.l
@@ -1939,6 +1950,10 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
     S = N.bit_length() - 1
     nb = B // bt
     tiles = split_limbs(perm, kp)
+    if ak32.ndim != 4:
+        # caller should pre-flatten outside any scan: the 5-D HBM form
+        # pads P to the sublane tile, so this reshape is a physical copy
+        ak32 = ak32.reshape(ak32.shape[0], Jk * C * P, 1, N)
     kernel = _make_auto_ks_stream_kernel(kp)
     in_specs = [
         pl.BlockSpec((1, nl, C, bt, N),
@@ -1971,7 +1986,7 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
         scratch_shapes=[
             pltpu.VMEM((Jk, bt, N), jnp.int32),
             pltpu.VMEM((C, P, bt, N), _U32),
-            pltpu.VMEM((Jk, C, P, bt, N), _U32),
+            pltpu.VMEM((Jk * C * P, bt, 1, N), _U32),
             pltpu.SemaphoreType.DMA((bt,)),
         ],
     )
