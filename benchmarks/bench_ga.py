@@ -62,11 +62,55 @@ def main():
     print(f"# GA bootstrap: {dt*1e3:.2f} ms/op (decrypt "
           f"{'OK' if ok else 'FAIL'}, err 2^{np.log2(err+1):.1f})",
           file=sys.stderr)
-    print(json.dumps({
+    row = {
         "metric": "ga_bootstrap_L2", "value": round(dt * 1e3, 3),
         "unit": "ms/bootstrap", "vs_baseline": None, "batch": batch,
         "decrypt_ok": bool(ok),
-    }))
+    }
+
+    # MXU-NTT leg (same pattern as bench.py / bench_torus32): re-trace the
+    # whole GA bootstrap with the int8-MXU plan, decrypt-verify, let the
+    # faster verified plan win the row.  A Mosaic failure here must never
+    # sink the row.
+    if os.environ.get("BENCH_MXU", "1") == "1" and \
+            os.environ.get("MOSFHET_NTT_MXU", "0") != "1":
+        try:
+            os.environ["MOSFHET_NTT_MXU"] = "1"
+            fb_m = jax.jit(lambda tv, c, bk:
+                           bootstrap_ga.functional_bootstrap_ga(tv, c, bk, 4))
+            t0 = time.time()
+            out = fb_m(tv, cs, bkg)
+            jax.block_until_ready(out.b)
+            print(f"# mxu compile+run {time.time()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            ph = np.asarray(tlwe.phase(out, ko), np.uint64)
+            err_m = np.abs((ph - want).view(np.int64)
+                           .astype(np.float64)).max()
+            ok_m = bool(err_m <= 2.0**58)
+            tms = []
+            for _ in range(reps):
+                t0 = time.time()
+                out = fb_m(tv, cs, bkg)
+                jax.block_until_ready(out.b)
+                tms.append(time.time() - t0)
+            dt_m = min(tms) / batch
+            print(f"# GA bootstrap (mxu): {dt_m*1e3:.2f} ms/op (decrypt "
+                  f"{'OK' if ok_m else 'FAIL'})", file=sys.stderr)
+            row["mxu_ms"] = round(dt_m * 1e3, 3)
+            row["mxu_decrypt_ok"] = ok_m
+            if ok_m and dt_m < dt:
+                row["value"] = round(dt_m * 1e3, 3)
+                row["decrypt_ok"] = ok_m
+                row["ntt"] = "mxu"
+                row["rollntt_ms"] = round(dt * 1e3, 3)
+        except Exception as e:
+            print(f"# mxu leg failed: {str(e)[-400:]}",
+                  file=sys.stderr, flush=True)
+            row["mxu_error"] = str(e)[-200:]
+        finally:
+            os.environ.pop("MOSFHET_NTT_MXU", None)
+
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
