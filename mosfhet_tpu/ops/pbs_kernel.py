@@ -51,7 +51,12 @@ from .. import ntt as _ntt
 from ..torus import gadget_offset
 
 _U32 = jnp.uint32
-DEFAULT_BT = 32
+# Batch tile (sublane rows per kernel invocation).  32 is the measured
+# sweet spot for the lane-roll plan; the MXU plan's int8 matmuls run at
+# M = BT, so larger tiles raise MXU M-utilization (128 = full tile) at
+# the cost of VMEM working set — override for experiments.
+import os as _os
+DEFAULT_BT = int(_os.environ.get("MOSFHET_BT", "32"))
 
 
 def kernel_eligible(N: int, primes) -> bool:
