@@ -44,7 +44,7 @@ def _err(want, got):
     return float(d.max())
 
 
-def run_set(set_name):
+def run_set(set_name, emit):
     from mosfhet_tpu import (params, tlwe, trlwe, trgsw, bootstrap,
                              bootstrap_ga, keyswitch as ks, product, rng,
                              torus)
@@ -52,15 +52,24 @@ def run_set(set_name):
     KEY = jax.random.PRNGKey(20260817)
     kk = jax.random.split(jax.random.fold_in(KEY, hash(set_name) % 97), 10)
     t0 = time.time()
-    key_tlwe = tlwe.new_binary_key(kk[0], p.n, p.lwe_sigma)
-    key_trlwe = trlwe.new_binary_key(kk[1], p.N, p.k, p.rlwe_sigma)
-    key_out = trlwe.extract_tlwe_key(key_trlwe)
-    gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
-    bk = jax.jit(lambda r, k_: bootstrap.new_key(r, gk, k_, 1))(
-        kk[2], key_tlwe)
-    jax.block_until_ready(bk.v)
-    rlk = jax.jit(lambda r, k_: ks.new_rl_key(r, k_, 2, 20))(
-        kk[5], key_trlwe)
+    # Base keygen is guarded too: the r3 run aborted with a bare
+    # RESOURCE_EXHAUSTED and zero rows, so every failure must name its step
+    # and rows must stream out as they are produced.
+    try:
+        key_tlwe = tlwe.new_binary_key(kk[0], p.n, p.lwe_sigma)
+        key_trlwe = trlwe.new_binary_key(kk[1], p.N, p.k, p.rlwe_sigma)
+        key_out = trlwe.extract_tlwe_key(key_trlwe)
+        gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
+        bk = jax.jit(lambda r, k_: bootstrap.new_key(r, gk, k_, 1))(
+            kk[2], key_tlwe)
+        jax.block_until_ready(bk.v)
+        rlk = jax.jit(lambda r, k_: ks.new_rl_key(r, k_, 2, 20))(
+            kk[5], key_trlwe)
+        jax.block_until_ready(rlk.v)
+    except Exception as ex:
+        emit({"set": set_name, "op": "__setup__", "ok": False,
+              "detail": f"base keygen: {type(ex).__name__}: {ex}"[:160]})
+        return
 
     def try_key(name, fn):
         try:
@@ -105,11 +114,9 @@ def run_set(set_name):
 
     log(f"# {set_name}: base keys {time.time()-t0:.0f}s")
 
-    rows = []
-
     def report(op, ok, detail):
-        rows.append({"set": set_name, "op": op, "ok": bool(ok),
-                     "detail": detail})
+        emit({"set": set_name, "op": op, "ok": bool(ok),
+              "detail": detail})
         log(f"# {set_name:10s} {op:22s} {'pass' if ok else 'FAIL'} "
             f"({detail})")
 
@@ -180,6 +187,7 @@ def run_set(set_name):
         e = _err(luts8b[6], tlwe.phase(out, key_out))
         report("fdfb_this_work", e <= 2.0**58, f"2^{math.log2(e+1):.1f}")
     guarded("fdfb_this_work", op_fdfb_this_work)
+    del tksk  # last use — free ~1.2 GiB before the packing1 table arrives
 
     def op_priv_ks():
         from mosfhet_tpu import polynomial as poly
@@ -239,6 +247,7 @@ def run_set(set_name):
         e = _err(lutsq[6], tlwe.phase(out, key_out))
         report("fdfb_clot21", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
     guarded("fdfb_clot21", op_fdfb_clot21)
+    del rlk  # last use — free before priv-SK joins packing1 in HBM
 
     # ---- circuit bootstrap: the ONE op needing packing1 + priv-SK at
     # once (`bootstrap.c:309-322`) — generate priv-SK last, free both
@@ -277,14 +286,11 @@ def run_set(set_name):
         report("ga_bootstrap", e <= 2.0**59, f"2^{math.log2(e+1):.1f}")
     guarded("ga_bootstrap", op_ga)
 
-    return rows
-
 
 def main():
     child = os.environ.get("MATRIX_CHILD")
     if child:
-        for r in run_set(child):
-            print(json.dumps(r), flush=True)
+        run_set(child, lambda r: print(json.dumps(r), flush=True))
         return
 
     # parent: one subprocess per set (sequential — the axon tunnel serves
@@ -293,26 +299,34 @@ def main():
     import subprocess
     sets = os.environ.get("MATRIX_SETS", "SET_1,SET_2,SET_3,TFHEPP_L2")
     tmo = int(os.environ.get("MATRIX_SET_TIMEOUT", "7000"))
-    all_rows = []
     for s in sets.split(","):
         env = dict(os.environ, MATRIX_CHILD=s)
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
                                timeout=tmo)
-            sys.stderr.write(r.stderr)
-            got = [json.loads(x) for x in r.stdout.splitlines()
-                   if x.startswith("{")]
-            if not got:
-                got = [{"set": s, "op": "__aborted__", "ok": False,
-                        "detail": f"exit {r.returncode}: "
-                                  f"{r.stderr.strip()[-120:]}"}]
-            all_rows.extend(got)
-        except subprocess.TimeoutExpired:
-            all_rows.append({"set": s, "op": "__aborted__", "ok": False,
-                             "detail": f"timeout {tmo}s"})
-    for r in all_rows:
-        print(json.dumps(r))
+            out, errtxt, rc = r.stdout, r.stderr, r.returncode
+        except subprocess.TimeoutExpired as te:
+            # salvage the rows the child streamed before the timeout
+            # (POSIX attaches these as bytes regardless of text=True)
+            def _txt(b):
+                return b.decode(errors="replace") if isinstance(b, bytes) \
+                    else (b or "")
+            out, errtxt = _txt(te.stdout), _txt(te.stderr)
+            rc = f"timeout {tmo}s"
+        sys.stderr.write(errtxt or "")
+        got = [json.loads(x) for x in (out or "").splitlines()
+               if x.startswith("{")]
+        if not got:
+            got = [{"set": s, "op": "__aborted__", "ok": False,
+                    "detail": f"exit {rc}: "
+                              f"{(errtxt or '').strip()[-120:]}"}]
+        elif not isinstance(rc, int) or rc != 0:
+            got.append({"set": s, "op": "__truncated__", "ok": False,
+                        "detail": f"exit {rc}: "
+                                  f"{(errtxt or '').strip()[-120:]}"})
+        for row in got:
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
