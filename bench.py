@@ -154,47 +154,55 @@ def main():
         "primes": list(int(q) for q in bk.primes),
     }
 
-    # -- MXU-NTT leg (MOSFHET_NTT_MXU plan): same program, the NTT tails
-    # on the int8 MXU.  Timed in-process with a fresh jit wrapper (the
-    # plan is fetched from the env during trace).  The faster path wins
-    # the headline; both are reported.  A Mosaic/compile failure here
-    # must never sink the headline row.
-    if os.environ.get("BENCH_MXU", "1") == "1" and on_accel and \
-            os.environ.get("MOSFHET_NTT_MXU", "0") != "1":
+    # -- alternate-plan leg: the NTT plan defaults to int8-MXU tails
+    # (MOSFHET_NTT_MXU=1 since round 3); re-trace with the OTHER plan
+    # (roll when primary is MXU, and vice versa) as an in-process
+    # comparison.  The faster decrypt-verified path wins the headline;
+    # both are reported.  A Mosaic/compile failure here must never sink
+    # the headline row.
+    primary_is_mxu = os.environ.get("MOSFHET_NTT_MXU", "1") == "1"
+    result["ntt"] = "mxu" if primary_is_mxu else "roll"
+    if os.environ.get("BENCH_MXU", "1") == "1" and on_accel:
+        alt = "roll" if primary_is_mxu else "mxu"
+        saved = os.environ.get("MOSFHET_NTT_MXU")
         try:
-            os.environ["MOSFHET_NTT_MXU"] = "1"
-            pbs_mxu = jax.jit(lambda tv, cs, bk: bootstrap.
+            os.environ["MOSFHET_NTT_MXU"] = "0" if primary_is_mxu else "1"
+            pbs_alt = jax.jit(lambda tv, cs, bk: bootstrap.
                               functional_bootstrap(tv, cs, bk, 4))
             t0 = time.time()
-            out = pbs_mxu(tv, cs, bk)
+            out = pbs_alt(tv, cs, bk)
             jax.block_until_ready(out.b)
-            print(f"# mxu first call (compile+run): {time.time()-t0:.1f}s",
+            print(f"# {alt} first call (compile+run): {time.time()-t0:.1f}s",
                   file=sys.stderr)
             ph = jnp.asarray(jax.jit(tlwe.phase)(out, key_out), jnp.uint64)
             err = jnp.abs((ph - want).astype(jnp.int64).astype(jnp.float64))
-            ok_mxu = bool(jnp.all(err <= 2.0**58))
+            ok_alt = bool(jnp.all(err <= 2.0**58))
             tms = []
             for _ in range(reps):
                 t0 = time.time()
-                out = pbs_mxu(tv, cs, bk)
+                out = pbs_alt(tv, cs, bk)
                 jax.block_until_ready(out.b)
                 tms.append(time.time() - t0)
-            thr_mxu = batch / min(tms)
-            print(f"# mxu: {min(tms)*1e3:.1f} ms / {batch} = "
+            thr_alt = batch / min(tms)
+            print(f"# {alt}: {min(tms)*1e3:.1f} ms / {batch} = "
                   f"{min(tms)/batch*1e3:.2f} ms/bootstrap "
-                  f"(decrypt {'OK' if ok_mxu else 'FAIL'})", file=sys.stderr)
-            result["mxu_boot_s"] = round(thr_mxu, 2)
-            result["mxu_decrypt_ok"] = ok_mxu
-            if ok_mxu and thr_mxu > thr:
-                result["value"] = round(thr_mxu, 2)
-                result["vs_baseline"] = round(thr_mxu / 24.4, 2)
-                result["ntt"] = "mxu"
-                result["rollntt_boot_s"] = round(thr, 2)
+                  f"(decrypt {'OK' if ok_alt else 'FAIL'})", file=sys.stderr)
+            result[f"{alt}ntt_boot_s"] = round(thr_alt, 2)
+            result[f"{alt}ntt_decrypt_ok"] = ok_alt
+            if ok_alt and thr_alt > thr:
+                result["value"] = round(thr_alt, 2)
+                result["vs_baseline"] = round(thr_alt / 24.4, 2)
+                result["ntt"] = alt
+                pri = "mxu" if primary_is_mxu else "roll"
+                result[f"{pri}ntt_boot_s"] = round(thr, 2)
         except Exception as e:
-            print(f"# mxu leg failed: {str(e)[-400:]}", file=sys.stderr)
-            result["mxu_error"] = str(e)[-200:]
+            print(f"# {alt} leg failed: {str(e)[-400:]}", file=sys.stderr)
+            result[f"{alt}_error"] = str(e)[-200:]
         finally:
-            os.environ.pop("MOSFHET_NTT_MXU", None)
+            if saved is None:
+                os.environ.pop("MOSFHET_NTT_MXU", None)
+            else:
+                os.environ["MOSFHET_NTT_MXU"] = saved
 
     # TORUS32 row (the reference's -DTORUS32 build, measured as a
     # subprocess before this client attached to the device)

@@ -53,43 +53,50 @@ row = {"metric": "pbs_throughput_L2_torus32",
        "value": round(B / min(ts), 2), "unit": "bootstraps/s",
        "batch": B, "decrypt_ok": bool(err < 2**26)}
 
-# MXU-NTT leg (same pattern as bench.py): re-trace with the int8-MXU plan,
-# decrypt-verify, and let the faster verified path win the row.  Measured
-# on v5e: 780 boot/s MXU vs 660 roll.  A Mosaic failure here must never
-# sink the row.
+# Alternate-plan leg (same pattern as bench.py): the plan defaults to
+# int8-MXU tails (round 3); re-trace with the OTHER plan, decrypt-verify,
+# and let the faster verified path win the row.  Measured on v5e: 780
+# boot/s MXU vs 660 roll.  A Mosaic failure here must never sink the row.
 import os
-if os.environ.get("BENCH_MXU", "1") == "1" and \
-        os.environ.get("MOSFHET_NTT_MXU", "0") != "1":
+primary_is_mxu = os.environ.get("MOSFHET_NTT_MXU", "1") == "1"
+row["ntt"] = "mxu" if primary_is_mxu else "roll"
+if os.environ.get("BENCH_MXU", "1") == "1":
+    alt = "roll" if primary_is_mxu else "mxu"
+    saved = os.environ.get("MOSFHET_NTT_MXU")
     try:
-        os.environ["MOSFHET_NTT_MXU"] = "1"
-        f_mxu = jax.jit(lambda tv, cs, bk: bootstrap.functional_bootstrap(
+        os.environ["MOSFHET_NTT_MXU"] = "0" if primary_is_mxu else "1"
+        f_alt = jax.jit(lambda tv, cs, bk: bootstrap.functional_bootstrap(
             tv, cs, bk, 4))
         t0 = time.time()
-        out = f_mxu(tv, cs, bk); jax.block_until_ready(out.b)
-        print(f"mxu first call {time.time()-t0:.0f}s", flush=True)
+        out = f_alt(tv, cs, bk); jax.block_until_ready(out.b)
+        print(f"{alt} first call {time.time()-t0:.0f}s", flush=True)
         ph = np.asarray(jax.jit(tlwe.phase)(out, ko))
         d = np.abs(ph.astype(np.float64) - want.astype(np.float64))
-        err_mxu = np.minimum(d, 2.0**32 - d).max()
-        ok_mxu = bool(err_mxu < 2**26)
+        err_alt = np.minimum(d, 2.0**32 - d).max()
+        ok_alt = bool(err_alt < 2**26)
         tms = []
         for _ in range(3):
-            t0 = time.time(); out = f_mxu(tv, cs, bk)
+            t0 = time.time(); out = f_alt(tv, cs, bk)
             jax.block_until_ready(out.b)
             tms.append(time.time() - t0)
-        print(f"mxu {min(tms)/B*1e3:.2f} ms/bootstrap -> "
-              f"{B/min(tms):.0f} boot/s (decrypt {'OK' if ok_mxu else 'FAIL'})",
+        print(f"{alt} {min(tms)/B*1e3:.2f} ms/bootstrap -> "
+              f"{B/min(tms):.0f} boot/s (decrypt {'OK' if ok_alt else 'FAIL'})",
               flush=True)
-        row["mxu_boot_s"] = round(B / min(tms), 2)
-        row["mxu_decrypt_ok"] = ok_mxu
-        if ok_mxu and min(tms) < min(ts):
+        row[f"{alt}ntt_boot_s"] = round(B / min(tms), 2)
+        row[f"{alt}ntt_decrypt_ok"] = ok_alt
+        if ok_alt and min(tms) < min(ts):
             row["value"] = round(B / min(tms), 2)
-            row["decrypt_ok"] = ok_mxu
-            row["ntt"] = "mxu"
-            row["rollntt_boot_s"] = round(B / min(ts), 2)
+            row["decrypt_ok"] = ok_alt
+            row["ntt"] = alt
+            pri = "mxu" if primary_is_mxu else "roll"
+            row[f"{pri}ntt_boot_s"] = round(B / min(ts), 2)
     except Exception as e:
-        print(f"mxu leg failed: {str(e)[-400:]}", flush=True)
-        row["mxu_error"] = str(e)[-200:]
+        print(f"{alt} leg failed: {str(e)[-400:]}", flush=True)
+        row[f"{alt}_error"] = str(e)[-200:]
     finally:
-        os.environ.pop("MOSFHET_NTT_MXU", None)
+        if saved is None:
+            os.environ.pop("MOSFHET_NTT_MXU", None)
+        else:
+            os.environ["MOSFHET_NTT_MXU"] = saved
 
 print(json.dumps(row))
