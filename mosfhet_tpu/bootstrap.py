@@ -180,12 +180,38 @@ def _cmux_step(acc_st, bk_v, bk_vs, ai, plan, l, Bg_bit, k, N):
     return acc_st + _ntt.from_ntt_u64(acc_ntt, plan)
 
 
+def _cmux_step_rotntt(acc_st, bk_v, bk_vs, ai, plan, l, Bg_bit, k, N):
+    """Rotation-free CMUX step (MOSFHET_ROT_NTT; same contract as
+    `_cmux_step`): the accumulator is gadget-decomposed directly and the
+    (X^{a_i} - 1) factor is applied in the NTT domain, where monomial
+    multiplication is diagonal (`ntt.xpow`):
+
+        acc += invNTT((zeta^a - 1) ⊙ sum_j NTT(decompose(acc)_j) * KEY_j)
+
+    Exact: rotation commutes with gadget recomposition (it is linear), so
+    this equals `_cmux_step` up to the decomposition rounding term, which
+    here is scaled by (X^a - 1) — bounded by 2x, covered by the key's
+    `ntt.external_product_bound` prime budget.  Bit-identical to the
+    Pallas kernel's rot-NTT path."""
+    digits = gadget_decompose(acc_st, Bg_bit, l)         # [..., k+1, l, N]
+    digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
+    spec = _ntt.to_ntt_small(digits, plan)               # [..., J, P, N]
+    acc_ntt = _ntt.pointwise_mul_acc_key(
+        spec[..., :, None, :, :], bk_v, bk_vs, plan, axis=-4)
+    # t = zeta^a - 1 (canonical; zeta^a is a root power, never 0)
+    t = _ntt.xpow(ai, plan) - jnp.uint64(1)              # [..., P, N]
+    acc_ntt = _ntt.barrett_mul(acc_ntt, t[..., None, :, :], plan)
+    return acc_st + _ntt.from_ntt_u64(acc_ntt, plan)
+
+
 def blind_rotate(tv: TRLWE, a, bk: BootstrapKey, impl: str = "auto") -> TRLWE:
     """n-step CMUX chain (`blind_rotate`, `bootstrap.c:107-122`).
 
     tv: TRLWE accumulator (batched); a: [..., n] u64 LWE mask.
     impl: "auto" picks the fused Pallas TPU kernel on TPU devices and the
     portable jnp path elsewhere; both are exact and bit-identical.
+    MOSFHET_ROT_NTT=1 switches both to the rotation-free step
+    (`_cmux_step_rotntt`) on Barrett-capable prime sets.
     """
     assert bk.unfolding == 1
     if impl == "auto":
@@ -197,10 +223,12 @@ def blind_rotate(tv: TRLWE, a, bk: BootstrapKey, impl: str = "auto") -> TRLWE:
     log_N2 = int(math.log2(2 * N))
     a_int = torus2int(jnp.asarray(a, TORUS_DTYPE), log_N2).astype(jnp.int32)
     a_scan = jnp.moveaxis(a_int, -1, 0)                  # [n, ...]
+    step_fn = _cmux_step_rotntt if (_ntt.rot_ntt_enabled()
+                                    and plan.barrett_ok) else _cmux_step
 
     def step(acc_st, xs):
         bk_v, bk_vs, ai = xs
-        return _cmux_step(acc_st, bk_v, bk_vs, ai, plan, l, Bg_bit, k, N), None
+        return step_fn(acc_st, bk_v, bk_vs, ai, plan, l, Bg_bit, k, N), None
 
     acc, _ = jax.lax.scan(step, tv.stacked(), (bk.v, bk.vs, a_scan))
     return from_stacked(acc)

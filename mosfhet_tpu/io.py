@@ -277,7 +277,7 @@ def import_mosfhet_bootstrap_key(f):
     su = _split_su_planes(
         jnp.stack(rows).reshape(n // unfolding, key_exp, (k + 1) * l,
                                 k + 1, N))
-    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), (k + 1) * l)
+    bound = _ntt.external_product_bound(N, Bg_bit, l, k)
     primes = _ntt.primes_for_bound(bound, N)
     return BootstrapKey(v=None, vs=None, su=su, n=n, k=k, N=N, l=l,
                         Bg_bit=Bg_bit, unfolding=unfolding, primes=primes)
@@ -619,7 +619,7 @@ def import_mosfhet_bootstrap_key_dft(f, layout: str = "ffnt"):
         d = np.frombuffer(f.read(8 * R * (k + 1) * N),
                           dtype="<f8").reshape(R, k + 1, N)
         rows[i] = ffnt_dft_to_torus(d, layout)
-    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), R)
+    bound = _ntt.external_product_bound(N, Bg_bit, l, k)
     primes = _ntt.primes_for_bound(bound, N)
     plan = _ntt.get_plan(N, primes)
     v = _ntt.to_ntt_u64(jnp.asarray(rows), plan)

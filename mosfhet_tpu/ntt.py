@@ -99,6 +99,47 @@ def conv_bound(N: int, max_abs_digit: int, j_terms: int) -> int:
     from .torus import TORUS_BITS
     return N * max_abs_digit * (1 << (TORUS_BITS - 1)) * j_terms
 
+
+def external_product_bound(N: int, Bg_bit: int, l: int, k: int) -> int:
+    """Prime-budget bound for the blind-rotate external product.
+
+    2x the raw convolution bound: the rotation-free CMUX step
+    (MOSFHET_ROT_NTT) reconstructs (X^a - 1) * sum_j d_j (*) key_j, whose
+    coefficients are differences of two convolution coefficients.  The
+    factor changes no registered parameter set's prime count (the master
+    suffixes have > 1 bit of slack everywhere), so the same keys serve
+    both step algorithms."""
+    return 2 * conv_bound(N, 1 << (Bg_bit - 1), (k + 1) * l)
+
+
+def rot_ntt_enabled() -> bool:
+    """MOSFHET_ROT_NTT=1 selects the rotation-free blind-rotate step: the
+    accumulator is gadget-decomposed directly and the (X^a - 1) factor is
+    applied as a per-row twiddle vector (zeta^a - 1) to the NTT-domain
+    accumulator — no coefficient-domain rotation (11 conditional u64
+    lane-rolls per component) anywhere in the step.  Exact: rotation
+    commutes with gadget recomposition; the 2x reconstruction bound is
+    covered by `external_product_bound`.  Needs the dynamic-operand
+    Barrett window (plan.barrett_ok) — silently falls back to the
+    rotation step on narrow-prime plans."""
+    import os
+    return os.environ.get("MOSFHET_ROT_NTT", "0") == "1"
+
+
+def xpow(a_int, plan: "NTTPlan"):
+    """Monomial spectra zeta^a: a_int [...] int32 in [0, 2N] ->
+    [..., P, N] u64 canonical residues of NTT(X^a).
+
+    logN+1 conditional Shoup multiplies over the set bits of a (bit
+    log2(2N), i.e. a == 2N, is the identity and needs no row)."""
+    x = jnp.ones(a_int.shape + (plan.P, plan.N), jnp.uint64)
+    pp = plan.p[:, None]
+    for j in range(plan.logN + 1):
+        bit = ((a_int >> j) & 1)[..., None, None] == 1
+        xm = shoup_mul(x, plan.xpow2[:, j], plan.xpow2_shoup[:, j], pp)
+        x = jnp.where(bit, xm, x)
+    return x
+
 _U64 = jnp.uint64
 
 
@@ -160,10 +201,12 @@ class NTTPlan:
         n_inv = np.zeros((self.P,), dtype=np.uint64)
         n_inv_sh = np.zeros((self.P,), dtype=np.uint64)
 
+        psi_roots = []
         for m, p in enumerate(self.primes):
             assert (p - 1) % (2 * N) == 0, f"{p} has no 2N-th root for N={N}"
             g = _primitive_root(p)
             psi = pow(g, (p - 1) // (2 * N), p)
+            psi_roots.append(psi)
             ipsi = pow(psi, p - 2, p)
             for i in range(N):
                 b = _bitrev(i, self.logN)
@@ -198,6 +241,29 @@ class NTTPlan:
         self.ipsi_rev_shoup = jnp.asarray(ipsi_rev_sh)
         self.n_inv = jnp.asarray(n_inv)
         self.n_inv_shoup = jnp.asarray(n_inv_sh)
+
+        # --- monomial spectra: NTT-domain rotation tables ----------------
+        # Spec position i of the forward DIF output is the evaluation of
+        # the input polynomial at zeta_i = psi^(2*bitrev(i)+1), so
+        # multiplying by the monomial X^a is DIAGONAL in the NTT domain:
+        # NTT(X^a (*) u)[i] = zeta_i^a * NTT(u)[i] for any a in [0, 2N]
+        # (zeta_i^N = -1 covers the negacyclic wrap).  xpow2[m, j] holds
+        # zeta^(2^j) so zeta^a is a product over the set bits of a — the
+        # rotation-free blind-rotate step (`bootstrap._cmux_step_rotntt`,
+        # `ops/pbs_kernel` MOSFHET_ROT_NTT path) builds it with logN+1
+        # conditional Shoup multiplies shared across all digit rows.
+        xpow2 = np.zeros((self.P, self.logN + 1, N), np.uint64)
+        xpow2_sh = np.zeros((self.P, self.logN + 1, N), np.uint64)
+        for m, p in enumerate(self.primes):
+            # zeta = psi_rev^2 * psi  (psi_rev[i] = psi^bitrev(i) < 2^30)
+            z = (psi_rev[m] * psi_rev[m] % np.uint64(p)) \
+                * np.uint64(psi_roots[m]) % np.uint64(p)
+            for j in range(self.logN + 1):
+                xpow2[m, j] = z
+                xpow2_sh[m, j] = (z << np.uint64(32)) // np.uint64(p)
+                z = z * z % np.uint64(p)
+        self.xpow2 = jnp.asarray(xpow2)
+        self.xpow2_shoup = jnp.asarray(xpow2_sh)
 
         # --- Garner mixed-radix CRT constants ---------------------------
         # t_m = (r_m - sum_{j<m} t_j * prefix_j) * inv(prefix_m) mod p_m,

@@ -400,7 +400,8 @@ class PBSKernelPlan:
     """Tables and constants for one (N, primes, l, Bg_bit, k) configuration."""
 
     def __init__(self, N: int, primes: tuple, l: int, Bg_bit: int, k: int,
-                 bt: int = DEFAULT_BT, mxu: bool = False):
+                 bt: int = DEFAULT_BT, mxu: bool = False,
+                 rot_ntt: bool = False):
         assert all((1 << 28) < p < (1 << 30) for p in primes), \
             "pallas kernel needs primes in (2^28, 2^30)"
         # Plans are cached and may first be requested inside a jit trace;
@@ -411,6 +412,15 @@ class PBSKernelPlan:
             self.use_mxu = bool(mxu) and N >= 128
             if self.use_mxu:
                 self._build_mxu(N)
+            # rotation-free step (MOSFHET_ROT_NTT): monomial-spectrum
+            # rows zeta^(2^j) as u32 (+ Shoup), from `ntt.NTTPlan.xpow2`.
+            # Needs the dynamic-operand Barrett window for the final
+            # (zeta^a - 1) ⊙ spec product.
+            self.rot_ntt = bool(rot_ntt) and self.barrett_ok
+            if self.rot_ntt:
+                plan = _ntt.get_plan(N, self.primes)
+                self.rot_tw = jnp.asarray(plan.xpow2, _U32)
+                self.rot_tws = jnp.asarray(plan.xpow2_shoup, _U32)
 
     def _build(self, N, primes, l, Bg_bit, k, bt):
         from ..torus import TORUS_BITS
@@ -610,23 +620,32 @@ class PBSKernelPlan:
 
 @functools.lru_cache(maxsize=None)
 def _get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
-                     bt: int, mxu: bool) -> PBSKernelPlan:
-    return PBSKernelPlan(N, primes, l, Bg_bit, k, bt, mxu=mxu)
+                     bt: int, mxu: bool, rot_ntt: bool) -> PBSKernelPlan:
+    return PBSKernelPlan(N, primes, l, Bg_bit, k, bt, mxu=mxu,
+                         rot_ntt=rot_ntt)
 
 
 def get_kernel_plan(N: int, primes: tuple, l: int, Bg_bit: int, k: int,
-                    bt: int = DEFAULT_BT, mxu: bool = None) -> PBSKernelPlan:
+                    bt: int = DEFAULT_BT, mxu: bool = None,
+                    rot_ntt: bool = None) -> PBSKernelPlan:
     """`mxu=None` resolves from the `MOSFHET_NTT_MXU` env var: the kernels
     run their forward-NTT tails / inverse-NTT heads on the int8 MXU
     (`_fwd_ntt_mxu`/`_inv_ntt_mxu`) instead of lane-roll butterflies.
     DEFAULT ON since round 3: measured on v5e at L2, MXU 422 boot/s vs
     roll 329 (+28%), TORUS32 780 vs 660, GA 5.32 ms vs 6.60 — bit-exact
     (kernel==jnp interpret tests run both plans).  Set MOSFHET_NTT_MXU=0
-    for the pure lane-roll plan."""
+    for the pure lane-roll plan.
+
+    `rot_ntt=None` resolves from `MOSFHET_ROT_NTT` (`ntt.rot_ntt_enabled`):
+    the blind-rotate step/partial kernels replace the coefficient-domain
+    rotation with the NTT-domain (zeta^a - 1) twiddle multiply."""
+    import os
     if mxu is None:
-        import os
         mxu = os.environ.get("MOSFHET_NTT_MXU", "1") == "1"
-    return _get_kernel_plan(N, primes, l, Bg_bit, k, bt, bool(mxu))
+    if rot_ntt is None:
+        rot_ntt = _ntt.rot_ntt_enabled()
+    return _get_kernel_plan(N, primes, l, Bg_bit, k, bt, bool(mxu),
+                            bool(rot_ntt))
 
 
 # ---------------------------------------------------------------------------
@@ -945,6 +964,15 @@ def _mxu_specs3(kp: PBSKernelPlan):
     return [row, row, mat, row, row, mat]
 
 
+def _rot_specs(kp: PBSKernelPlan):
+    """BlockSpecs for the rot-NTT monomial-spectrum tables
+    ([P, logN+1, N] values + Shoup), replicated across the grid."""
+    tbl = pl.BlockSpec((kp.P, kp.N.bit_length(), kp.N),
+                       lambda i: (i * 0, i * 0, i * 0),
+                       memory_space=pltpu.VMEM)
+    return [tbl, tbl]
+
+
 # ---------------------------------------------------------------------------
 # Fully-fused blind-rotate step: acc += BK (x) ((X^a - 1) * acc)
 # ---------------------------------------------------------------------------
@@ -999,6 +1027,79 @@ def _negacyclic_rotate_limb32(lo, a_col, liota, N: int):
     return jnp.where(bit_n, _U32(0) - lo, lo)
 
 
+def _rot_twiddle(a_col, rot_tw_ref, rot_tws_ref, p_i, p: int, bt: int,
+                 N: int):
+    """t = zeta^a - 1 per batch row: [BT, N] u32 in [0, p-1).
+
+    logN+1 conditional Shoup multiplies over the set bits of a (the
+    kernel counterpart of `ntt.xpow`; bit log2(2N) — a == 2N — is the
+    identity).  zeta^a is a power of a root of unity so never 0; the
+    plain -1 stays canonical."""
+    x = jnp.ones((bt, N), _U32)
+    for j in range(N.bit_length()):                      # logN + 1 rows
+        w = jnp.broadcast_to(rot_tw_ref[p_i, j:j + 1, :], (bt, N))
+        ws = jnp.broadcast_to(rot_tws_ref[p_i, j:j + 1, :], (bt, N))
+        bit = ((a_col >> jnp.int32(j)) & jnp.int32(1)) == jnp.int32(1)
+        xm = _exact(_shoup_lazy(x, w, ws, p), p)
+        x = jnp.where(bit, xm, x)
+    return x - _U32(1)
+
+
+def _decompose_acc(kp: PBSKernelPlan, acc_ref, dig_ref, a_col, liota,
+                   rotate: bool):
+    """Shared front of the step/partial kernels: read the accumulator limb
+    tiles, optionally form X^a*acc - acc in coefficient space (the classic
+    step), and write the gadget digits.  Returns the raw acc limb pairs
+    (for the final carry add).  With rotate=False (rot-NTT step) the
+    accumulator itself is decomposed; the (X^a - 1) factor is applied
+    later in the NTT domain (`_rot_twiddle`)."""
+    N, C, l, Bg_bit = kp.N, kp.C, kp.l, kp.Bg_bit
+    acc = []
+    for c in range(C):
+        if kp.nl == 1:
+            alo = acc_ref[0, 0, c]
+            acc.append((alo, None))
+            base = (_negacyclic_rotate_limb32(alo, a_col, liota, N) - alo
+                    ) if rotate else alo
+            lo = base + _U32(kp.off_lo)          # mod 2^32 throughout
+            for i in range(l):
+                dig_ref[c * l + i] = _decompose_digit(
+                    lo, None, i, Bg_bit, tb=32)
+            continue
+        alo = acc_ref[0, 0, c]
+        ahi = acc_ref[0, 1, c]
+        acc.append((alo, ahi))
+        if rotate:
+            rlo, rhi = _negacyclic_rotate_limbs(alo, ahi, a_col, liota, N)
+            # rot = X^a * acc - acc  (u64 subtract in limbs)
+            slo = rlo - alo
+            borrow = (rlo < alo).astype(_U32)
+            shi = rhi - ahi - borrow
+        else:
+            slo, shi = alo, ahi
+        # gadget decomposition
+        lo = slo + _U32(kp.off_lo)
+        carry = (lo < _U32(kp.off_lo)).astype(_U32)
+        hi = shi + _U32(kp.off_hi) + carry
+        for i in range(l):
+            dig_ref[c * l + i] = _decompose_digit(lo, hi, i, Bg_bit)
+    return acc
+
+
+def _apply_rot_twiddle(kp: PBSKernelPlan, spec_ref, a_col, rot_tw_ref,
+                       rot_tws_ref):
+    """spec[c, p] *= (zeta^a - 1) — the NTT-domain (X^a - 1) factor of the
+    rotation-free step.  Input lazy (< 2p), output lazy (< 2p); the
+    twiddle is shared across components (it depends only on a)."""
+    for p_i in range(kp.P):
+        p = kp.primes[p_i]
+        t = _rot_twiddle(a_col, rot_tw_ref, rot_tws_ref, p_i, p, kp.bt,
+                         kp.N)
+        for c in range(kp.C):
+            spec_ref[c, p_i] = _barrett_lazy(spec_ref[c, p_i], t, p,
+                                             kp.mup[p_i])
+
+
 def _make_step_kernel(kp: PBSKernelPlan):
     N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
     bt = kp.bt
@@ -1007,40 +1108,21 @@ def _make_step_kernel(kp: PBSKernelPlan):
                itw_ref, itws_ref, *rest):
         # acc_ref/out_ref: [1, 2, C, BT, N] u32 limbs of the accumulator
         # a_ref: [1, BT, 1] i32 rotation exponents in [0, 2N]
+        rest = list(rest)
         if kp.use_mxu:
             mxu_refs = tuple(rest[:6])
-            out_ref, dig_ref, spec_ref = rest[6:]
+            rest = rest[6:]
         else:
-            out_ref, dig_ref, spec_ref = rest
             mxu_refs = None
+        if kp.rot_ntt:
+            rot_tw_ref, rot_tws_ref = rest[:2]
+            rest = rest[2:]
+        out_ref, dig_ref, spec_ref = rest
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         a_col = a_ref[0]                                   # [BT, 1] i32
 
-        acc = []                                           # keep for final add
-        for c in range(C):
-            if kp.nl == 1:
-                alo = acc_ref[0, 0, c]
-                acc.append((alo, None))
-                rlo = _negacyclic_rotate_limb32(alo, a_col, liota, N)
-                lo = (rlo - alo) + _U32(kp.off_lo)      # mod 2^32 throughout
-                for i in range(l):
-                    dig_ref[c * l + i] = _decompose_digit(
-                        lo, None, i, Bg_bit, tb=32)
-                continue
-            alo = acc_ref[0, 0, c]
-            ahi = acc_ref[0, 1, c]
-            acc.append((alo, ahi))
-            rlo, rhi = _negacyclic_rotate_limbs(alo, ahi, a_col, liota, N)
-            # rot = X^a * acc - acc  (u64 subtract in limbs)
-            slo = rlo - alo
-            borrow = (rlo < alo).astype(_U32)
-            shi = rhi - ahi - borrow
-            # gadget decomposition of the difference
-            lo = slo + _U32(kp.off_lo)
-            carry = (lo < _U32(kp.off_lo)).astype(_U32)
-            hi = shi + _U32(kp.off_hi) + carry
-            for i in range(l):
-                dig_ref[c * l + i] = _decompose_digit(lo, hi, i, Bg_bit)
+        acc = _decompose_acc(kp, acc_ref, dig_ref, a_col, liota,
+                             rotate=not kp.rot_ntt)
 
         for c in range(C):
             for p in range(P):
@@ -1048,6 +1130,10 @@ def _make_step_kernel(kp: PBSKernelPlan):
 
         _ntt_mul_acc(kp, dig_ref, keyv_ref, keyvs_ref, spec_ref,
                      ftw_ref, ftws_ref, liota, mxu_refs)
+
+        if kp.rot_ntt:
+            _apply_rot_twiddle(kp, spec_ref, a_col, rot_tw_ref,
+                               rot_tws_ref)
 
         ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
                            mxu_refs)
@@ -1103,6 +1189,9 @@ def _pbs_step_tiles(acc_tiles, a_tiles, keyv, keyvs, kp: PBSKernelPlan,
     if kp.use_mxu:
         in_specs += _mxu_specs(kp)
         args += _mxu_args(kp)
+    if kp.rot_ntt:
+        in_specs += _rot_specs(kp)
+        args += [kp.rot_tw, kp.rot_tws]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
@@ -1190,36 +1279,22 @@ def _make_partial_step_kernel(kp: PBSKernelPlan, j_local: int):
         # keyv/s: [j_local, C, P, N] u32 (this shard's key rows)
         # j0_ref: [1] i32 in SMEM — global index of the first local row
         # spec_out_ref: [1, C, P, BT, N] u32, each value in [0, p)
+        rest = list(rest)
         if kp.use_mxu:
             mxu_refs = tuple(rest[:6])
-            spec_out_ref, dig_ref, spec_ref = rest[6:]
+            rest = rest[6:]
         else:
-            spec_out_ref, dig_ref, spec_ref = rest
             mxu_refs = None
+        if kp.rot_ntt:
+            rot_tw_ref, rot_tws_ref = rest[:2]
+            rest = rest[2:]
+        spec_out_ref, dig_ref, spec_ref = rest
         liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
         a_col = a_ref[0]
         j0 = j0_ref[0]
 
-        for c in range(C):
-            if kp.nl == 1:
-                alo = acc_ref[0, 0, c]
-                rlo = _negacyclic_rotate_limb32(alo, a_col, liota, N)
-                lo = (rlo - alo) + _U32(kp.off_lo)
-                for i in range(l):
-                    dig_ref[c * l + i] = _decompose_digit(
-                        lo, None, i, Bg_bit, tb=32)
-                continue
-            alo = acc_ref[0, 0, c]
-            ahi = acc_ref[0, 1, c]
-            rlo, rhi = _negacyclic_rotate_limbs(alo, ahi, a_col, liota, N)
-            slo = rlo - alo
-            borrow = (rlo < alo).astype(_U32)
-            shi = rhi - ahi - borrow
-            lo = slo + _U32(kp.off_lo)
-            carry = (lo < _U32(kp.off_lo)).astype(_U32)
-            hi = shi + _U32(kp.off_hi) + carry
-            for i in range(l):
-                dig_ref[c * l + i] = _decompose_digit(lo, hi, i, Bg_bit)
+        _decompose_acc(kp, acc_ref, dig_ref, a_col, liota,
+                       rotate=not kp.rot_ntt)
 
         for c in range(C):
             for p in range(P):
@@ -1233,6 +1308,12 @@ def _make_partial_step_kernel(kp: PBSKernelPlan, j_local: int):
 
         _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
                            liota, mxu_refs, j_local, key_fn, dig0=j0)
+
+        if kp.rot_ntt:
+            # (zeta^a - 1) ⊙ local partial: t is scalar per (row, lane)
+            # so it commutes with the cross-shard psum
+            _apply_rot_twiddle(kp, spec_ref, a_col, rot_tw_ref,
+                               rot_tws_ref)
 
         for c in range(C):
             for p_i in range(P):
@@ -1280,6 +1361,9 @@ def partial_step_tiles(acc_tiles, a_tiles, j0, keyv, keyvs,
     if kp.use_mxu:
         in_specs += _mxu_specs(kp)
         args += _mxu_args(kp)
+    if kp.rot_ntt:
+        in_specs += _rot_specs(kp)
+        args += [kp.rot_tw, kp.rot_tws]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, C, P, bt, N), _U32),

@@ -50,12 +50,19 @@ def make_mesh(devices=None, data: int = None, model: int = 1,
 def _blind_rotate_tp(acc_st, a_int, bk_v, bk_vs, plan, l, Bg_bit, k, N,
                      model_axis: str | None):
     """Blind rotate where bk_v/bk_vs may be sharded on the J (row) axis;
-    partial external products are psum'd over `model_axis`."""
+    partial external products are psum'd over `model_axis`.  Honors the
+    MOSFHET_ROT_NTT rotation-free step (`bootstrap._cmux_step_rotntt`):
+    the (zeta^a - 1) twiddle is scalar per (row, lane) so it commutes
+    with the cross-shard psum and is applied to the summed spec."""
+    rotntt = _ntt.rot_ntt_enabled() and plan.barrett_ok
 
     def step(carry, xs):
         v, vs, ai = xs
-        rot = _poly.mul_by_xai(carry, ai[..., None]) - carry
-        digits = gadget_decompose(rot, Bg_bit, l)
+        if rotntt:
+            digits = gadget_decompose(carry, Bg_bit, l)
+        else:
+            rot = _poly.mul_by_xai(carry, ai[..., None]) - carry
+            digits = gadget_decompose(rot, Bg_bit, l)
         digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
         if model_axis is not None:
             # each shard holds J/m rows of the key: slice matching digits
@@ -69,6 +76,9 @@ def _blind_rotate_tp(acc_st, a_int, bk_v, bk_vs, plan, l, Bg_bit, k, N,
         if model_axis is not None:
             part = jax.lax.psum(part, model_axis)
             part = _ntt.barrett_small(part, plan.p[:, None], plan.mu[:, None])
+        if rotntt:
+            t = _ntt.xpow(ai, plan) - jnp.uint64(1)
+            part = _ntt.barrett_mul(part, t[..., None, :, :], plan)
         return carry + _ntt.from_ntt_u64(part, plan), None
 
     out, _ = jax.lax.scan(step, acc_st, (bk_v, bk_vs, a_int))

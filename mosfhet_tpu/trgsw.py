@@ -37,11 +37,11 @@ class TRGSWKey:
 
     def plan(self):
         """Plan for external products: J=(k+1)l digit convolutions with
-        |digit| <= Bg/2 against centered torus operands."""
+        |digit| <= Bg/2 against centered torus operands (2x headroom for
+        the rotation-free CMUX step, `ntt.external_product_bound`)."""
         k = self.trlwe_key.k
-        bound = _ntt.conv_bound(
-            self.trlwe_key.N, 1 << (self.Bg_bit - 1), (k + 1) * self.l
-        )
+        bound = _ntt.external_product_bound(
+            self.trlwe_key.N, self.Bg_bit, self.l, k)
         return _ntt.get_plan(self.trlwe_key.N, _ntt.primes_for_bound(bound, self.trlwe_key.N))
 
 

@@ -36,7 +36,8 @@ def _plan(mode: str):
     else:
         primes = _ntt.primes_for_bound(bound)
     return pk.get_kernel_plan(N, primes, l, Bg_bit, k,
-                              mxu=(mode == "mxu"))
+                              mxu=("mxu" in mode),
+                              rot_ntt=("rotntt" in mode))
 
 
 def _rand(shape, dtype=np.uint64, hi=None, rng=np.random.default_rng(7)):
@@ -52,7 +53,8 @@ def _key(kp, *lead):
                  hi=min(kp.primes)).astype(jnp.uint32)
 
 
-@pytest.mark.parametrize("mode", ["default", "mxu", "narrow"])
+@pytest.mark.parametrize("mode", ["default", "mxu", "narrow",
+                                  "rotntt", "rotntt_mxu"])
 def test_lower_blind_rotate_scan(mode):
     kp = _plan(mode)
     acc = _rand((B, C, N))
@@ -128,7 +130,7 @@ def test_lower_auto_keyswitch_stream(mode):
                pk.auto_keyswitch_stream(p_, a_, i_, kp), perm, ak, kidx)
 
 
-@pytest.mark.parametrize("mode", ["default", "mxu"])
+@pytest.mark.parametrize("mode", ["default", "mxu", "rotntt_mxu"])
 def test_lower_tp_partial_and_finish(mode):
     kp = _plan(mode)
     j_local = J // 2
