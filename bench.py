@@ -20,15 +20,28 @@ import jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 
 
+def _subbench_env():
+    """Build the TORUS32 sub-bench environment.  ALWAYS prepend the repo
+    root: the round-3 driver pre-set a PYTHONPATH without /root/repo and the
+    child died with ModuleNotFoundError, losing the torus32_* headline
+    fields.  Prepend, never setdefault.  (Unit-tested in
+    tests/test_bench_env.py.)"""
+    env = dict(os.environ)
+    env["MOSFHET_TORUS_BITS"] = "32"
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = ":".join(
+        [repo_root, "/root/.axon_site"] + ([prev] if prev else []))
+    return env
+
+
 def _run_torus32_leg():
     """Run the TORUS32 sub-bench as a subprocess BEFORE this process creates
     its own TPU client (the axon tunnel serves one client at a time — round 2
     ran it after, and the child hung with empty stdout).  Returns the child's
     JSON row or None; failures carry the child's stderr tail."""
     import subprocess
-    env = dict(os.environ)
-    env["MOSFHET_TORUS_BITS"] = "32"
-    env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
+    env = _subbench_env()
     try:
         r = subprocess.run(
             [sys.executable,
