@@ -192,7 +192,16 @@ def _cmux_step_rotntt(acc_st, bk_v, bk_vs, ai, plan, l, Bg_bit, k, N):
     this equals `_cmux_step` up to the decomposition rounding term, which
     here is scaled by (X^a - 1) — bounded by 2x, covered by the key's
     `ntt.external_product_bound` prime budget.  Bit-identical to the
-    Pallas kernel's rot-NTT path."""
+    Pallas kernel's rot-NTT path.
+
+    NOISE: the (X^a - 1) factor also scales the TRGSW key-noise term
+    sum_j d_j * e_j, so per-step external-product noise VARIANCE grows by
+    up to ~2x vs the classic step (|X^a - 1| has two unit taps).  The 2x
+    prime budget covers CRT exactness only, not this TFHE noise growth —
+    i.e. rot-NTT costs up to half a bit of output noise margin.  Guarded
+    by a decrypt-verified end-to-end test (tests/test_rot_ntt.py) and by
+    the hardware bench's decrypt check; do not flip MOSFHET_ROT_NTT on by
+    default without re-checking the target parameter set's budget."""
     digits = gadget_decompose(acc_st, Bg_bit, l)         # [..., k+1, l, N]
     digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
     spec = _ntt.to_ntt_small(digits, plan)               # [..., J, P, N]

@@ -277,7 +277,13 @@ def import_mosfhet_bootstrap_key(f):
     su = _split_su_planes(
         jnp.stack(rows).reshape(n // unfolding, key_exp, (k + 1) * l,
                                 k + 1, N))
-    bound = _ntt.external_product_bound(N, Bg_bit, l, k)
+    # 1x conv bound: unfolded keys never take the rot-NTT step (the
+    # unfolded combine rotates KEY spectra before the convolution, which
+    # keeps centered coefficients <= 2^63, unlike the rot-NTT step's
+    # post-convolution (X^a - 1) factor), so the 2x
+    # `external_product_bound` would only risk an extra prime for
+    # imported keys outside the registered sets.
+    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), (k + 1) * l)
     primes = _ntt.primes_for_bound(bound, N)
     return BootstrapKey(v=None, vs=None, su=su, n=n, k=k, N=N, l=l,
                         Bg_bit=Bg_bit, unfolding=unfolding, primes=primes)
