@@ -143,17 +143,28 @@ class DistNTTPlan:
             self.p = jnp.asarray(np.array(self.primes, np.uint64))
 
 
+def _col(t, ndim):
+    """[P] -> [P, 1, ..., 1] (leading-P layout, `ndim` total dims)."""
+    return t.reshape(t.shape[:1] + (1,) * (ndim - 1))
+
+
+def _row(t, ndim):
+    """[P, W] -> [P, 1, ..., 1, W]."""
+    return t.reshape(t.shape[:1] + (1,) * (ndim - 2) + t.shape[-1:])
+
+
 def _local_dft(x, plan: DistNTTPlan):
     """Iterative cyclic DIF over the last axis (length N2), output
-    bit-reversed.  x: [P, N2] u64 residues (< p)."""
+    bit-reversed.  x: [P, ..., N2] u64 residues (< p); any number of
+    batch dims between P and N2."""
     N2 = plan.N2
-    pb = plan.p[:, None, None]
     for s, tw in enumerate(plan.loc_tw):
         h = N2 >> (s + 1)
         v = x.reshape(x.shape[:-1] + (N2 // (2 * h), 2, h))
         u, w_ = v[..., 0, :], v[..., 1, :]
+        pb = _col(plan.p, u.ndim)
         top = (u + w_) % pb
-        bot = ((u + pb - w_) * tw[:, None, :]) % pb
+        bot = ((u + pb - w_) * _row(tw, u.ndim)) % pb
         x = jnp.stack([top, bot], axis=-2).reshape(x.shape)
     return x
 
@@ -162,12 +173,12 @@ def _local_idft(x, plan: DistNTTPlan):
     """Inverse of `_local_dft` (consumes bit-reversed), without the 1/N2
     scaling (folded into the plan's itwist)."""
     N2 = plan.N2
-    pb = plan.p[:, None, None]
     for s, itw in enumerate(plan.loc_itw):
         h = 1 << s
         v = x.reshape(x.shape[:-1] + (N2 // (2 * h), 2, h))
         u, w_ = v[..., 0, :], v[..., 1, :]
-        wt = (w_ * itw[:, None, :]) % pb
+        pb = _col(plan.p, u.ndim)
+        wt = (w_ * _row(itw, u.ndim)) % pb
         top = (u + wt) % pb
         bot = (u + pb - wt) % pb
         x = jnp.stack([top, bot], axis=-2).reshape(x.shape)
@@ -175,41 +186,42 @@ def _local_idft(x, plan: DistNTTPlan):
 
 
 def _forward_sharded(x, plan: DistNTTPlan, axis: str, twist, mid):
-    """x: this shard's [P, N2] residues.  One ppermute per device stage."""
+    """x: this shard's [P, ..., N2] residues; twist/mid: local [P, N2]
+    rows.  One ppermute per device stage."""
     D, logD = plan.D, plan.logD
     j = jax.lax.axis_index(axis)
-    pcol = plan.p[:, None]
-    x = (x * twist) % pcol
+    pcol = _col(plan.p, x.ndim)
+    x = (x * _row(twist, x.ndim)) % pcol
     for s in range(logD):
         h = D >> (s + 1)
         recv = jax.lax.ppermute(
             x, axis, perm=[(i, i ^ h) for i in range(D)])
         is_bot = (j & h) != 0
-        tw = plan.dev_tw[s][:, j][:, None]                 # [P, 1]
+        tw = _col(plan.dev_tw[s][:, j], x.ndim)            # [P, 1, ...]
         top = (x + recv) % pcol
         bot = ((recv + pcol - x) * tw) % pcol
         x = jnp.where(is_bot, bot, top)
-    x = (x * mid) % pcol
+    x = (x * _row(mid, x.ndim)) % pcol
     return _local_dft(x, plan)
 
 
 def _inverse_sharded(x, plan: DistNTTPlan, axis: str, itwist, imid):
     D, logD = plan.D, plan.logD
     j = jax.lax.axis_index(axis)
-    pcol = plan.p[:, None]
+    pcol = _col(plan.p, x.ndim)
     x = _local_idft(x, plan)
-    x = (x * imid) % pcol
+    x = (x * _row(imid, x.ndim)) % pcol
     for s in range(logD):
         h = 1 << s
         is_bot = (j & h) != 0
-        itw = plan.dev_itw[s][:, j][:, None]
+        itw = _col(plan.dev_itw[s][:, j], x.ndim)
         pre = jnp.where(is_bot, (x * itw) % pcol, x)
         recv = jax.lax.ppermute(
             pre, axis, perm=[(i, i ^ h) for i in range(D)])
         top = (pre + recv) % pcol
         bot = (recv + pcol - pre) % pcol
         x = jnp.where(is_bot, bot, top)
-    return (x * itwist) % pcol
+    return (x * _row(itwist, x.ndim)) % pcol
 
 
 def make_dist_ntt_mul_small(mesh: Mesh, N: int, axis: str = "x",
@@ -249,3 +261,186 @@ def make_dist_ntt_mul_small(mesh: Mesh, N: int, axis: str = "x",
                                splan)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Serial emulation of the sharded transform (setup-time key / table prep)
+# ---------------------------------------------------------------------------
+
+def full_forward(x_res, plan: DistNTTPlan):
+    """Single-device emulation of `_forward_sharded` over the full array:
+    x_res [..., P, N] u64 residues -> [..., P, N] spectra in the dist
+    ordering (device-major [D, N2], k1 bit-reversed across devices, local
+    order bit-reversed).  Used to pre-transform bootstrap keys and
+    monomial tables into the exact ordering the sharded path produces."""
+    lead = x_res.shape[:-2]
+    Pn, D, N2 = len(plan.primes), plan.D, plan.N2
+    x = x_res.reshape(lead + (Pn, D, N2))
+    p4 = plan.p.reshape(Pn, 1, 1)
+    x = (x * plan.twist) % p4
+    for s in range(plan.logD):
+        h = D >> (s + 1)
+        v = x.reshape(lead + (Pn, D // (2 * h), 2, h, N2))
+        u, w_ = v[..., 0, :, :], v[..., 1, :, :]
+        p5 = plan.p.reshape(Pn, 1, 1, 1)
+        tw = plan.dev_tw[s].reshape(Pn, D // (2 * h), 2, h)[
+            :, :, 1, :][..., None]                       # [P, blk, h, 1]
+        top = (u + w_) % p5
+        bot = ((u + p5 - w_) * tw) % p5
+        x = jnp.stack([top, bot], axis=-3).reshape(lead + (Pn, D, N2))
+    x = (x * plan.mid) % p4
+    # local DFT: move P to the front for the shared helper
+    xp = jnp.moveaxis(x, -3, 0)                          # [P, ..., D, N2]
+    xp = _local_dft(xp, plan)
+    x = jnp.moveaxis(xp, 0, -3)
+    return x.reshape(lead + (Pn, D * N2))
+
+
+def dist_xpow2_tables(plan: DistNTTPlan):
+    """Spectra of X^(2^t), t = 0..logN, in the dist ordering:
+    [logN+1, P, N] u64.  Bit log2(2N) of an exponent is the identity
+    (X^2N = 1) and needs no row — same contract as `ntt.NTTPlan.xpow2`."""
+    N, Pn = plan.N, len(plan.primes)
+    T = N.bit_length()                                   # logN + 1 rows
+    mono = np.zeros((T, Pn, N), np.uint64)
+    for t in range(T - 1):
+        mono[t, :, 1 << t] = 1
+    for m, p in enumerate(plan.primes):
+        mono[T - 1, m, 0] = p - 1                        # X^N = -1
+    with jax.ensure_compile_time_eval():
+        return full_forward(jnp.asarray(mono), plan)
+
+
+def _dist_xpow(a_int, tables, p):
+    """Monomial spectra zeta^a in dist ordering: a_int [...] int32 in
+    [0, 2N]; tables [T, P, N2loc]; p [P] -> [..., P, N2loc] u64."""
+    T = tables.shape[0]
+    x = jnp.ones(a_int.shape + tables.shape[1:], _U64)
+    pb = p[:, None]
+    for t in range(T):
+        bit = ((a_int >> t) & 1)[..., None, None] == 1
+        x = jnp.where(bit, (x * tables[t]) % pb, x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# N-sharded blind rotate (the "giant-N" end-to-end path)
+# ---------------------------------------------------------------------------
+
+def make_dist_blind_rotate(mesh: Mesh, N: int, k: int, l: int,
+                           Bg_bit: int, axis: str = "x"):
+    """Coefficient-sharded blind rotate: every polynomial of the
+    accumulator, the digit spectra, and the bootstrap key lives SPLIT
+    over `axis` of the mesh (N/D coefficients per device); the n CMUX
+    steps run the rotation-free algorithm (`bootstrap._cmux_step_rotntt`)
+    so the per-step data-dependent rotation is a local diagonal twiddle
+    multiply — cross-device traffic is exactly one ppermute per butterfly
+    stage of each forward/inverse dist-NTT.
+
+    Returns (prep_key, run):
+      prep_key(bk)      -> key spectra [n, J, C, P, N] in dist ordering
+                           (shard the last axis over `axis`)
+      run(acc0, a_int, key_dist) -> rotated accumulator [..., C, N] u64,
+                           bit-identical to the single-chip rot-NTT scan
+                           with the same primes.
+
+    SURVEY §5 "long-context analog": beyond the reference's N <= 8192
+    envelope (`misc.c:147-158`), one chip's transform would not fit; this
+    path scales N over ICI instead."""
+    from jax.sharding import NamedSharding
+    from ..torus import gadget_decompose
+
+    D = mesh.shape[axis]
+    J = (k + 1) * l
+    bound = _ntt.external_product_bound(N, Bg_bit, l, k)  # rot-NTT 2x
+    primes = _ntt.primes_for_bound(bound, N)
+    dplan = DistNTTPlan(N, D, primes)
+    splan = _ntt.get_plan(N, primes)
+    Pn = len(primes)
+    xp2 = dist_xpow2_tables(dplan)                        # [T, P, N]
+    tw_f = dplan.twist.reshape(Pn, N)
+    tw_i = dplan.itwist.reshape(Pn, N)
+    mid_f = dplan.mid.reshape(Pn, N)
+    mid_i = dplan.imid.reshape(Pn, N)
+
+    def prep_key(bk):
+        """Bootstrap key -> dist-ordered spectra [n, J, C, P, N] u64.
+        Recovers the raw TRGSW rows from the key's own NTT form (exact:
+        the rows are u64 values < prod(p)/2), then re-transforms with the
+        dist plan."""
+        rows = _ntt.from_ntt_u64(bk.v, bk.plan())         # [n, J, C, N]
+        res = _ntt.to_resi_u64(rows, splan)               # [n, J, C, P, N]
+        return full_forward(res, dplan)
+
+    def inner(acc, a_all, kv_all, xp, twf, twi, midf, midi):
+        # acc [B, C, N2]; a_all [n, B] i32; kv_all [n, J, C, P, N2]
+        B = acc.shape[0]
+        p_ = splan.p
+
+        def step(acc, xs):
+            a_i, kv = xs
+            dig = gadget_decompose(acc, Bg_bit, l)        # [B, C, l, N2]
+            dig = dig.reshape(B, J, -1)
+            dres = _ntt.to_resi_small(dig, splan)         # [B, J, P, N2]
+            x = jnp.moveaxis(dres, -2, 0)                 # [P, B, J, N2]
+            spec = _forward_sharded(x, dplan, axis, twf, midf)
+            kvm = jnp.moveaxis(kv, -2, 0)                 # [P, J, C, N2]
+            prod = jnp.sum(
+                spec[:, :, :, None, :] * kvm[:, None], axis=2,
+                dtype=_U64) % _col(p_, 4)                 # [P, B, C, N2]
+            t = _dist_xpow(a_i, xp, p_)                   # [B, P, N2]
+            tm1 = jnp.moveaxis(t, -2, 0) - _U64(1)        # zeta^a != 0
+            prod = (prod * tm1[:, :, None, :]) % _col(p_, 4)
+            inv = _inverse_sharded(
+                prod.reshape(Pn, B * (k + 1), -1), dplan, axis, twi, midi)
+            res = jnp.moveaxis(
+                inv.reshape(Pn, B, k + 1, -1), 0, -2)     # [B, C, P, N2]
+            return acc + _ntt.garner_u64(res, splan), None
+
+        acc, _ = jax.lax.scan(step, acc, (a_all, kv_all))
+        return acc
+
+    sharded = shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, None),
+                  P(None, None, None, None, axis), P(None, None, axis),
+                  P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=P(None, None, axis))
+
+    @jax.jit
+    def run(acc0, a_int, key_dist):
+        return sharded(acc0, jnp.moveaxis(a_int, -1, 0).astype(jnp.int32),
+                       key_dist, xp2, tw_f, tw_i, mid_f, mid_i)
+
+    return prep_key, run
+
+
+def functional_bootstrap_n_sharded(mesh: Mesh, tv, c, bk, key_dist, run,
+                                   torus_base: int):
+    """Full PBS with the blind rotate N-sharded: test-vector rotation by
+    -round(b) happens replicated (cheap, coefficient domain), the CMUX
+    scan runs sharded, extraction on the gathered result."""
+    import math as _math
+    from .. import trlwe as _trlwe
+    from ..torus import TORUS_DTYPE, torus2int
+    from ..bootstrap import _prec_offset
+
+    N = bk.N
+    log_N2 = int(_math.log2(2 * N))
+    b_int = torus2int(c.b + _prec_offset(torus_base),
+                      log_N2).astype(jnp.int32)
+    acc = _trlwe.mul_by_xai(tv, 2 * N - b_int)
+    a_int = torus2int(jnp.asarray(c.a, TORUS_DTYPE),
+                      log_N2).astype(jnp.int32)
+    st = acc.stacked()
+    batch = a_int.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= d
+    st = jnp.broadcast_to(st, batch + st.shape[-2:]).reshape(
+        B, bk.k + 1, N)
+    out = run(st, a_int.reshape(B, -1), key_dist)
+    from ..trlwe import from_stacked
+    return _trlwe.extract_tlwe(
+        from_stacked(out.reshape(batch + (bk.k + 1, N))), 0)

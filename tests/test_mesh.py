@@ -174,3 +174,59 @@ def test_pallas_kernel_on_mesh_with_padding():
     np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
     _phase_check(got, key_out, luts, slots)
+
+
+def test_dist_blind_rotate_bit_exact():
+    """N-sharded blind rotate (`dist_ntt.make_dist_blind_rotate`): the
+    CMUX scan with every polynomial coefficient-sharded over all 8
+    devices must be BIT-identical to the single-chip rotation-free step
+    (`bootstrap._cmux_step_rotntt`) at the same primes."""
+    from jax.sharding import Mesh
+    from mosfhet_tpu.parallel import dist_ntt
+    from mosfhet_tpu import ntt as _ntt
+
+    p = P
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(31, batch=4)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("x",))
+    prep_key, run = dist_ntt.make_dist_blind_rotate(
+        mesh, p.N, p.k, p.l, p.Bg_bit, axis="x")
+    kd = prep_key(bk)
+
+    B = 4
+    rng_np = np.random.default_rng(11)
+    acc0 = jnp.asarray(rng_np.integers(
+        0, 1 << 64, size=(B, p.k + 1, p.N), dtype=np.uint64))
+    a_int = jnp.asarray(rng_np.integers(
+        0, 2 * p.N + 1, size=(B, 6), dtype=np.int32))
+    with mesh:
+        got = run(acc0, a_int, kd[:6])
+
+    # oracle: jnp rot-NTT scan with the same primes (the key's own)
+    plan = bk.plan()
+    keyv, keyvs = bk.v[:6], bk.vs[:6]
+
+    def step(acc_st, xs):
+        kv, kvs, ai = xs
+        return bootstrap._cmux_step_rotntt(
+            acc_st, kv, kvs, ai, plan, p.l, p.Bg_bit, p.k, p.N), None
+    want, _ = jax.lax.scan(
+        step, acc0, (keyv, keyvs, jnp.moveaxis(a_int, -1, 0)))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_dist_pbs_decrypts():
+    """Full functional bootstrap with the blind rotate N-sharded over the
+    8-device mesh decrypts every LUT slot."""
+    from jax.sharding import Mesh
+    from mosfhet_tpu.parallel import dist_ntt
+
+    p = P
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(32, batch=4)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("x",))
+    prep_key, run = dist_ntt.make_dist_blind_rotate(
+        mesh, p.N, p.k, p.l, p.Bg_bit, axis="x")
+    kd = prep_key(bk)
+    with mesh:
+        out = dist_ntt.functional_bootstrap_n_sharded(
+            mesh, tv1, cs, bk, kd, run, 4)
+    _phase_check(out, key_out, luts, slots)
