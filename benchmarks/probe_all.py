@@ -71,7 +71,12 @@ def probe(name, fn, *args):
         return
     t0 = time.time()
     try:
-        jax.jit(fn).trace(*args).lower().compile()
+        if os.environ.get("PROBE_LOWER_ONLY") == "1":
+            # python-side check only (no device): runs the Pallas->Mosaic
+            # pipeline but not the remote Mosaic compiler
+            jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+        else:
+            jax.jit(fn).trace(*args).lower().compile()
         print(json.dumps({"probe": name, "ok": True,
                           "compile_s": round(time.time() - t0, 1)}),
               flush=True)
@@ -177,89 +182,80 @@ def _galois_idx(gen: int):
     return (ic % N).astype(np.int32), (ic >= N)
 
 
+def _take_lanes(x, idx):
+    """take_along_axis(axis=1) via lax.gather with int32 indices — the
+    exact GatherDimensionNumbers Mosaic lowers to `tpu.dynamic_gather`
+    (jnp.take_along_axis inserts an int64 index cast under x64, which
+    Mosaic rejects)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        x, idx[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def x_gather_static():
     """One static full-lane permutation (a single psi_3 stage) applied to
-    a [BT, N] u32 tile inside a kernel."""
+    a [BT, N] u32 tile inside a kernel; index/sign tables as inputs."""
     idx, neg = _galois_idx(3)
 
-    def kernel(x_ref, o_ref):
+    def kernel(x_ref, i_ref, n_ref, o_ref):
         x = x_ref[0]
-        g = jnp.take(x, jnp.asarray(idx), axis=1)
-        o_ref[0] = jnp.where(jnp.asarray(neg)[None, :],
+        idx2 = jnp.broadcast_to(i_ref[0, 0][None, :], x.shape)
+        g = _take_lanes(x, idx2)
+        o_ref[0] = jnp.where(n_ref[0, 0][None, :] != 0,
                              jnp.uint32(0) - g, g)
 
     f = pl.pallas_call(
         kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec((1, B, N), lambda i: (i, i * 0, i * 0))],
-        out_specs=pl.BlockSpec((1, B, N), lambda i: (i, i * 0, i * 0)),
-        out_shape=jax.ShapeDtypeStruct((1, B, N), jnp.uint32),
-    )
-    x = _rand((1, B, N), np.uint64).astype(jnp.uint32)
-    return lambda x: f(x), (x,)
-
-
-def x_gather_chain():
-    """The full `_permute_log` pattern in-kernel: log2(N/2)+1 conditional
-    static permutations selected by per-tile scalar bits (here a scalar
-    argument in SMEM)."""
-    order = N // 2
-    stages = []
-    h = 3
-    for _ in range(order.bit_length() - 1):
-        stages.append(_galois_idx(h))
-        h = (h * h) % (2 * N)
-    stages.append(_galois_idx(2 * N - 1))
-
-    def kernel(e_ref, x_ref, o_ref):
-        x = x_ref[0]
-        e = e_ref[0]
-        for i, (idx, neg) in enumerate(stages):
-            bit = ((e >> jnp.int32(i)) & jnp.int32(1)) == 1
-            g = jnp.take(x, jnp.asarray(idx), axis=1)
-            g = jnp.where(jnp.asarray(neg)[None, :], jnp.uint32(0) - g, g)
-            x = jnp.where(bit, g, x)
-        o_ref[0] = x
-
-    f = pl.pallas_call(
-        kernel,
-        grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B, N), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, 1, N), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, 1, N), lambda i: (i, i * 0, i * 0)),
         ],
         out_specs=pl.BlockSpec((1, B, N), lambda i: (i, i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((1, B, N), jnp.uint32),
     )
-    e = jnp.asarray([5], jnp.int32)
     x = _rand((1, B, N), np.uint64).astype(jnp.uint32)
-    return lambda e, x: f(e, x), (e, x)
+    it = jnp.asarray(idx.reshape(1, 1, N))
+    nt = jnp.asarray(neg.astype(np.uint32).reshape(1, 1, N))
+    return lambda x, i, n: f(x, i, n), (x, it, nt)
 
 
 def x_gather_dyn_rows():
-    """Per-row dynamic lane gather (the `_permute_dyn` pattern): idx
-    [BT, N] row-varying."""
-    def kernel(x_ref, i_ref, o_ref):
-        o_ref[0] = jnp.take_along_axis(x_ref[0], i_ref[0], axis=1)
+    """Per-row dynamic lane gather — the `_permute_dyn` pattern entirely
+    in-kernel: ONE tpu.dynamic_gather per [BT, N] tile would replace the
+    11 conditional XLA gather stages of `bootstrap_ga._permute_log`.
+    Indices are computed in-kernel from a per-row generator inverse
+    (iota * ginv mod 2N), sign from bit N."""
+    def kernel(x_ref, g_ref, o_ref):
+        x = x_ref[0]
+        ginv = g_ref[0]                                  # [BT, 1] i32
+        j = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        ic = (j * ginv) & jnp.int32(2 * N - 1)
+        g = _take_lanes(x, ic & jnp.int32(N - 1))
+        o_ref[0] = jnp.where((ic & jnp.int32(N)) != 0,
+                             jnp.uint32(0) - g, g)
 
     f = pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((1, B, N), lambda i: (i, i * 0, i * 0)),
-            pl.BlockSpec((1, B, N), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, B, 1), lambda i: (i, i * 0, i * 0)),
         ],
         out_specs=pl.BlockSpec((1, B, N), lambda i: (i, i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((1, B, N), jnp.uint32),
     )
     x = _rand((1, B, N), np.uint64).astype(jnp.uint32)
-    idx = _rand((1, B, N), np.int32, hi=N)
-    return lambda x, i: f(x, i), (x, idx)
+    ginv = _rand((1, B, 1), np.int32, hi=2 * N) | jnp.int32(1)
+    return lambda x, g: f(x, g), (x, ginv)
 
 
 def experimental_probes():
     for name, mk in [("x_gather_static_lanes", x_gather_static),
-                     ("x_gather_chain_lanes", x_gather_chain),
                      ("x_gather_dyn_rows", x_gather_dyn_rows)]:
         try:
             fn, args = mk()

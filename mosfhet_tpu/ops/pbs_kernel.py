@@ -51,12 +51,13 @@ from .. import ntt as _ntt
 from ..torus import gadget_offset
 
 _U32 = jnp.uint32
-# Batch tile (sublane rows per kernel invocation).  32 is the measured
-# sweet spot for the lane-roll plan; the MXU plan's int8 matmuls run at
-# M = BT, so larger tiles raise MXU M-utilization (128 = full tile) at
-# the cost of VMEM working set — override for experiments.
+# Batch tile (sublane rows per kernel invocation).  Round-4 sweep under
+# the default MXU plan (results_r4.jsonl, L2 batch 256): BT=64 441
+# boot/s vs BT=32 422 vs BT=128 437; neutral at batch 512 (459.9 vs
+# 459.6).  64 is the default; the lane-roll plan's sweet spot was 32 —
+# override with MOSFHET_BT for experiments.
 import os as _os
-DEFAULT_BT = int(_os.environ.get("MOSFHET_BT", "32"))
+DEFAULT_BT = int(_os.environ.get("MOSFHET_BT", "64"))
 
 
 def kernel_eligible(N: int, primes) -> bool:
