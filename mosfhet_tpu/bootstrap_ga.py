@@ -294,18 +294,36 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
 
         import os
         stream = os.environ.get("MOSFHET_GA_STREAM", "1") == "1"
+        fused = stream and os.environ.get("MOSFHET_GA_FUSED", "1") == "1"
 
         def auto_ks(acc_st, gen):
-            """Permute (log-factored static gathers) + fused keyswitch
-            kernel.  Default: the keyset stays HBM-resident and the
-            selected per-row entries are DMA-streamed inside the kernel
-            (scalar-prefetched indices) — no per-step XLA gather
-            materialization.  MOSFHET_GA_STREAM=0 falls back to the
-            gather + per-row-key kernel."""
+            """Galois permute + fused keyswitch kernel.  Default: the
+            keyset stays HBM-resident with the selected per-row entries
+            DMA-streamed inside the kernel (scalar-prefetched indices),
+            and the permutation itself ALSO runs in-kernel as one dynamic
+            lane gather per limb (`_galois_permute_limbs`) — no per-step
+            XLA gather materialization of either the keys or the
+            permuted accumulator.  MOSFHET_GA_FUSED=0 keeps the permute
+            in XLA (`_permute_log` conditional static gathers);
+            MOSFHET_GA_STREAM=0 falls back to the gather + per-row-key
+            kernel."""
+            kidx = jnp.broadcast_to((gen - 1) >> 1, batch).reshape(B)
+            if fused:
+                x = jnp.broadcast_to(acc_st, batch + (k + 1, N)
+                                     ).reshape(B, k + 1, N)
+                ginv = jnp.take(bk.inv2n, kidx, axis=0)
+                pad_g = (jnp.concatenate(
+                    [ginv, jnp.ones((pad,), ginv.dtype)]) if pad else ginv)
+                kidx_p = (jnp.concatenate(
+                    [kidx, jnp.zeros((pad,), kidx.dtype)]) if pad else kidx)
+                out = _pk.auto_keyswitch_stream(
+                    _pad_rows(x), ak32f, kidx_p, kp_ks, interpret=interp,
+                    ginv=pad_g)
+                return (out[:B] if pad else out).reshape(
+                    batch + (k + 1, N))
             perm = _permute_log(acc_st, gen, N)
             x = jnp.broadcast_to(perm, batch + (k + 1, N)
                                  ).reshape(B, k + 1, N)
-            kidx = jnp.broadcast_to((gen - 1) >> 1, batch).reshape(B)
             if stream:
                 kidx_p = (jnp.concatenate(
                     [kidx, jnp.zeros((pad,), kidx.dtype)]) if pad else kidx)

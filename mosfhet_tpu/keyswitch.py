@@ -81,6 +81,80 @@ def new_trlwe_ks_key(rkey, out_key: TRLWEKey, in_key: TRLWEKey, t: int,
     return TRLWEKSKey(v=v, vs=vs, t=t, base_bit=base_bit, primes=plan.primes)
 
 
+@flax.struct.dataclass
+class SeededTRLWEKSKey:
+    """Seeded (compressed) multiply-style TRLWE-KS key: per entry only
+    the 8-byte threefry seed and the b polynomial's NTT spectrum — the
+    dense a-part spectra (k_out/(k_out+1) of the key) are regenerated
+    inside the apply jit.
+
+    TPU-native answer to the reference's DFT-domain compressed samples
+    (`trlwe_compressed_vaes.c:88-202`), which DEFINE the mask in the DFT
+    domain (AES keystream exponent-patched into doubles) so the apply
+    never transforms it.  That trick is mathematically unavailable to
+    exact CRT-NTT arithmetic: a spectrum-sampled mask has coefficients
+    uniform mod prod(p) ~ 2^90, which breaks both the wraparound u64
+    torus semantics and the CRT reconstruction bound (the convolution
+    integer must stay < prod(p)/2, which needs |a| <= 2^63).  The exact
+    equivalent keeps the mask DEFINED in the coefficient domain (u64,
+    unbiased) but stores only its seed; expansion -> residues -> forward
+    NTT run fused in the apply, so the expanded key exists only as a
+    transient of one jit, never in storage or between steps."""
+    seeds: jax.Array   # [k_in, t, 2] u32 threefry key data
+    b_v: jax.Array     # [k_in, t, P, N] u64 b spectra
+    b_vs: jax.Array
+    k_out: int = flax.struct.field(pytree_node=False)
+    t: int = flax.struct.field(pytree_node=False)
+    base_bit: int = flax.struct.field(pytree_node=False)
+    primes: tuple = flax.struct.field(pytree_node=False)
+
+    @property
+    def k_in(self):
+        return self.seeds.shape[0]
+
+    def plan(self):
+        return _ntt.get_plan(self.b_v.shape[-1], self.primes)
+
+
+def new_trlwe_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TRLWEKey,
+                            t: int, base_bit: int) -> SeededTRLWEKSKey:
+    """Seeded `trlwe_new_KS_key`: same encryptions as the dense keygen,
+    masks drawn from per-entry seeds (`trlwe_new_compressed_sample`,
+    `trlwe_compressed.c:37-53`, lifted to the KS-key table)."""
+    from . import seeded as _seeded
+    N, k_in = out_key.N, in_key.k
+    plan = _ks_plan(N, base_bit, t, k_in * t)
+    shifts = jnp.array([TORUS_BITS - (j + 1) * base_bit for j in range(t)],
+                       dtype=TORUS_DTYPE)
+    ms = in_key.s.astype(TORUS_DTYPE)[:, None, :] * \
+        (TORUS_DTYPE(1) << shifts)[None, :, None]        # [k_in, t, N]
+    sc = _seeded.encrypt(ms, out_key, rkey)              # seeds + b
+    b_v = _ntt.to_ntt_u64(sc.b, plan)                    # [k_in, t, P, N]
+    return SeededTRLWEKSKey(
+        seeds=sc.seed, b_v=b_v, b_vs=_ntt.make_shoup(b_v, plan.p[:, None]),
+        k_out=out_key.k, t=t, base_bit=base_bit, primes=plan.primes)
+
+
+def _seeded_ks_mul_acc(digits, sk: SeededTRLWEKSKey):
+    """sum over rows of NTT(digits) * entry, expanding each entry's mask
+    spectra from its seed inside the same trace (Barrett mul for the
+    regenerated a rows, Shoup for the stored b rows)."""
+    from . import seeded as _seeded
+    plan = sk.plan()
+    R = sk.k_in * sk.t
+    spec = _ntt.to_ntt_small(digits, plan)               # [..., R, P, N]
+    a = _seeded._expand_a(sk.seeds.reshape(R, 2), sk.k_out,
+                          sk.b_v.shape[-1])              # [R, k_out, N]
+    av = _ntt.to_ntt_u64(a, plan)                        # [R, k_out, P, N]
+    acc_a = _ntt.pointwise_mul_acc_generic(
+        spec[..., :, None, :, :], av, plan, axis=-4)     # [..., k_out, P, N]
+    bv = sk.b_v.reshape(R, 1, plan.P, sk.b_v.shape[-1])
+    bvs = sk.b_vs.reshape(bv.shape)
+    acc_b = _ntt.pointwise_mul_acc_key(
+        spec[..., :, None, :, :], bv, bvs, plan, axis=-4)
+    return jnp.concatenate([acc_a, acc_b], axis=-3)
+
+
 def _decompose_digits(x, base_bit: int, t: int):
     """[..., C, N] -> [..., C*t, N] rounded digits (decompose_i offsets)."""
     d = gadget_decompose(x, base_bit, t)      # [..., C, t, N]
@@ -94,14 +168,19 @@ def _mul_acc_ks(digits, key_v, key_vs, plan):
         spec[..., :, None, :, :], key_v, key_vs, plan, axis=-4)
 
 
-def trlwe_keyswitch(c: TRLWE, ksk: TRLWEKSKey) -> TRLWE:
+def trlwe_keyswitch(c: TRLWE, ksk) -> TRLWE:
     """(`trlwe_keyswitch`, `keyswitch.c:162-193`):
-    out = (0, b) - sum_{i,j} dec_j(a_i) (*) KS[i][j]."""
+    out = (0, b) - sum_{i,j} dec_j(a_i) (*) KS[i][j].
+    Accepts a dense `TRLWEKSKey` or a `SeededTRLWEKSKey` (mask spectra
+    regenerated from seeds inside the apply)."""
     plan = ksk.plan()
     digits = _decompose_digits(c.a, ksk.base_bit, ksk.t)
-    kv = ksk.v.reshape((-1,) + ksk.v.shape[2:])
-    kvs = ksk.vs.reshape((-1,) + ksk.vs.shape[2:])
-    acc = _mul_acc_ks(digits, kv, kvs, plan)
+    if isinstance(ksk, SeededTRLWEKSKey):
+        acc = _seeded_ks_mul_acc(digits, ksk)
+    else:
+        kv = ksk.v.reshape((-1,) + ksk.v.shape[2:])
+        kvs = ksk.vs.reshape((-1,) + ksk.vs.shape[2:])
+        acc = _mul_acc_ks(digits, kv, kvs, plan)
     as_ = from_stacked(_ntt.from_ntt_u64(acc, plan))
     out = _trlwe.noiseless_trivial(c.b, as_.k, as_.N)
     return _trlwe.sub(out, as_)
@@ -707,6 +786,22 @@ def new_automorphism_ks_keyset(rkey, key: TRLWEKey, gens, t: int,
         key2 = TRLWEKey(s=s_perm.astype(jnp.int64), sigma=key.sigma,
                         s_bound=key.s_bound)
         out[int(gen)] = new_trlwe_ks_key(
+            jax.random.fold_in(rkey, i), key, key2, t, base_bit)
+    return out
+
+
+def new_automorphism_ks_keyset_seeded(rkey, key: TRLWEKey, gens, t: int,
+                                      base_bit: int) -> dict:
+    """Seeded automorphism keyset: {gen: SeededTRLWEKSKey}.  The all-odd
+    keyset is the storage giant (N generators; ~1.6 GiB at L2 dense) —
+    seeding halves it; `eval_automorphism` accepts the entries
+    transparently (masks regenerated per apply)."""
+    out = {}
+    for i, gen in enumerate(gens):
+        s_perm = _poly.permute(key.s.astype(TORUS_DTYPE), int(gen))
+        key2 = TRLWEKey(s=s_perm.astype(jnp.int64), sigma=key.sigma,
+                        s_bound=key.s_bound)
+        out[int(gen)] = new_trlwe_ks_key_seeded(
             jax.random.fold_in(rkey, i), key, key2, t, base_bit)
     return out
 

@@ -1014,6 +1014,39 @@ def _negacyclic_rotate_limbs(lo, hi, a_col, liota, N: int):
     return lo, hi
 
 
+def _take_lanes(x, idx):
+    """take_along_axis(axis=1) on a [BT, N] tile via lax.gather with i32
+    indices — the exact GatherDimensionNumbers Mosaic lowers to ONE
+    `tpu.dynamic_gather` (jnp.take_along_axis inserts an i64 index cast
+    under x64 mode, which Mosaic rejects)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        x, idx[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _galois_permute_limbs(lo, hi, ginv_col, N: int):
+    """Per-row Galois permutation psi_gen (x^i -> x^(gen*i)) of u64
+    polynomial rows (lo, hi) [BT, N]; ginv_col [BT, 1] i32 holds gen^-1
+    mod 2N per row.  out[j] = +- in[(j*ginv mod 2N) mod N] — ONE dynamic
+    lane gather per limb plus a conditional two's-complement negation,
+    replacing the log2(N/2)+1 conditional XLA gather stages of
+    `bootstrap_ga._permute_log` (`polynomial_permute`,
+    `/root/reference/src/polynomial.c:439-450`)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+    ic = (j * ginv_col) & jnp.int32(2 * N - 1)
+    gidx = ic & jnp.int32(N - 1)
+    neg = (ic & jnp.int32(N)) != 0
+    glo = _take_lanes(lo, gidx)
+    if hi is None:
+        return jnp.where(neg, _U32(0) - glo, glo), None
+    ghi = _take_lanes(hi, gidx)
+    nlo, nhi = _neg_u64(glo, ghi)
+    return jnp.where(neg, nlo, glo), jnp.where(neg, nhi, ghi)
+
+
 def _negacyclic_rotate_limb32(lo, a_col, liota, N: int):
     """Single-limb (TORUS32) per-row rotation X^{a}."""
     logN = N.bit_length() - 1
@@ -1926,7 +1959,7 @@ def auto_keyswitch(perm, key_rows, kp: PBSKernelPlan,
     return merge_limbs(out)
 
 
-def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
+def _make_auto_ks_stream_kernel(kp: PBSKernelPlan, fuse_perm: bool = False):
     """Auto-keyswitch with the per-row AK entries DMA-streamed HBM->VMEM
     inside the kernel (scalar-prefetched indices) instead of an XLA
     gather: the gather materializes [B, Jk, C, P, N] in HBM (plus a tile
@@ -1948,11 +1981,22 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
     Jk = k_in * t
     bt, nl = kp.bt, kp.nl
 
-    def kernel(kidx_ref, perm_ref, ak_ref, ftw_ref, ftws_ref,
-               itw_ref, itws_ref, *rest):
+    def kernel(kidx_ref, *refs):
         # kidx_ref: [B] i32 (scalar prefetch); ak_ref: [G, Jk*C*P, 1, N]
         # u32 in HBM (ANY); key_scr: [Jk*C*P, bt, 1, N] VMEM;
-        # sems: [bt] DMA semaphores
+        # sems: [bt] DMA semaphores.  With fuse_perm: ginv_ref [1, bt, 1]
+        # i32 follows perm_ref and the Galois permutation happens HERE
+        # (one dynamic lane gather per limb) instead of as XLA gather
+        # stages between kernels.
+        perm_ref = refs[0]
+        off = 1
+        ginv_ref = None
+        if fuse_perm:
+            ginv_ref = refs[1]
+            off = 2
+        ftw_ref, ftws_ref, itw_ref, itws_ref = refs[off + 1:off + 5]
+        ak_ref = refs[off]
+        rest = refs[off + 5:]
         if kp.use_mxu:
             mxu_refs = tuple(rest[:6])
             out_ref, dig_ref, spec_ref, key_scr, sems = rest[6:]
@@ -1973,16 +2017,24 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
             cp.start()
             copies.append(cp)
 
+        def load_perm(c):
+            """Limbs of component c of the (permuted) input — permutation
+            applied in-kernel when fused, overlapped with the key DMAs."""
+            alo = perm_ref[0, 0, c]
+            ahi = perm_ref[0, 1, c] if nl == 2 else None
+            if fuse_perm:
+                return _galois_permute_limbs(alo, ahi, ginv_ref[0], N)
+            return alo, ahi
+
         # decompose + zero spec while the key DMAs fly
         for c in range(k_in):
-            alo = perm_ref[0, 0, c]
+            alo, ahi = load_perm(c)
             if nl == 1:
                 lo = alo + _U32(kp.off_lo)
                 for di in range(t):
                     dig_ref[c * t + di] = _decompose_digit(
                         lo, None, di, kp.Bg_bit, tb=32)
                 continue
-            ahi = perm_ref[0, 1, c]
             lo = alo + _U32(kp.off_lo)
             carry = (lo < _U32(kp.off_lo)).astype(_U32)
             hi = ahi + _U32(kp.off_hi) + carry
@@ -2008,13 +2060,12 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
             ts = ts_all[c]
             if nl == 1:
                 dlo = _garner_limb32(ts, kp)
-                base = perm_ref[0, 0, c] if c == k_in else _U32(0)
+                base = load_perm(c)[0] if c == k_in else _U32(0)
                 out_ref[0, 0, c] = base - dlo
                 continue
             dlo, dhi = _garner_limbs(ts, kp)
             if c == k_in:
-                blo = perm_ref[0, 0, c]
-                bhi = perm_ref[0, 1, c]
+                blo, bhi = load_perm(c)
             else:
                 blo = jnp.zeros((bt, N), _U32)
                 bhi = jnp.zeros((bt, N), _U32)
@@ -2027,7 +2078,7 @@ def _make_auto_ks_stream_kernel(kp: PBSKernelPlan):
 
 
 def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
-                          interpret: bool = False):
+                          interpret: bool = False, ginv=None):
     """Automorphism keyswitch, keyset resident in HBM and the selected
     entries DMA-streamed per batch row (see `_make_auto_ks_stream_kernel`).
 
@@ -2035,6 +2086,10 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
     (the FULL keyset — reshaped here to the unit-minor DMA layout
     [G, Jk*C*P, 1, N], a free reshape of the same HBM bytes); kidx: [B]
     i32 entry index per row.
+    ginv: optional [B] i32 per-row generator inverses mod 2N — when given,
+    `perm` is the UN-permuted accumulator and the Galois permutation runs
+    inside the kernel (one dynamic lane gather per limb), eliminating the
+    XLA permute stages between the external product and this kernel.
     Returns [B, C, N] torus: (0, b) - sum dec(a) (x) key."""
     B, C, N = perm.shape
     t = kp.l
@@ -2047,10 +2102,17 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
         # caller should pre-flatten outside any scan: the 5-D HBM form
         # pads P to the sublane tile, so this reshape is a physical copy
         ak32 = ak32.reshape(ak32.shape[0], Jk * C * P, 1, N)
-    kernel = _make_auto_ks_stream_kernel(kp)
+    kernel = _make_auto_ks_stream_kernel(kp, fuse_perm=ginv is not None)
     in_specs = [
         pl.BlockSpec((1, nl, C, bt, N),
                      lambda i, k_ref: (i, i * 0, i * 0, i * 0, i * 0)),
+    ]
+    args = [kidx.astype(jnp.int32), tiles]
+    if ginv is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, bt, 1), lambda i, k_ref: (i, i * 0, i * 0)))
+        args.append(ginv.astype(jnp.int32).reshape(nb, bt, 1))
+    in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((P, S, N),
                      lambda i, k_ref: (i * 0, i * 0, i * 0)),
@@ -2061,8 +2123,7 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
         pl.BlockSpec((P, S + 1, N),
                      lambda i, k_ref: (i * 0, i * 0, i * 0)),
     ]
-    args = [kidx.astype(jnp.int32), tiles, ak32, kp.ftw, kp.ftws, kp.itw,
-            kp.itws]
+    args += [ak32, kp.ftw, kp.ftws, kp.itw, kp.itws]
     if kp.use_mxu:
         row = pl.BlockSpec((P, N), lambda i, k_ref: (i * 0, i * 0))
         mat = pl.BlockSpec((P, 512, 512),

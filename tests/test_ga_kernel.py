@@ -74,3 +74,30 @@ def test_ga_kernel_bit_exact():
     want_v = np.asarray(luts, np.uint64)[np.arange(3)]
     err = np.abs((ph - want_v).view(np.int64).astype(np.float64))
     assert err.max() <= float(1 << 58), f"err 2^{np.log2(err.max()+1):.1f}"
+
+
+def test_ga_kernel_fused_permute(monkeypatch):
+    """The in-kernel Galois permutation (MOSFHET_GA_FUSED=1, one dynamic
+    lane gather per limb inside the stream keyswitch kernel) must be
+    bit-identical to the XLA `_permute_log` + stream-kernel path, and to
+    the jnp scan."""
+    kk = jax.random.split(jax.random.fold_in(KEY, 21), 5)
+    kt = tlwe.new_binary_key(kk[0], P_GA.n, P_GA.lwe_sigma)
+    kr = trlwe.new_binary_key(kk[1], P_GA.N, P_GA.k, P_GA.rlwe_sigma)
+    gk = trgsw.new_key(kr, P_GA.l, P_GA.Bg_bit)
+    bkg = bootstrap_ga.new_key(kk[2], gk, kt)
+    luts = rng.uniform_torus(kk[3], (4,))
+    tv = trlwe.torus_packing(luts, P_GA.k, P_GA.N)
+    ms = torus.double2torus(jnp.arange(3) / 8.0)   # odd batch: padding path
+    cs = tlwe.encrypt(ms, kt, kk[4])
+    want = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg, impl="jnp")
+    monkeypatch.setenv("MOSFHET_GA_FUSED", "1")
+    got_f = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
+                                         impl="pallas_interpret")
+    monkeypatch.setenv("MOSFHET_GA_FUSED", "0")
+    got_u = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
+                                         impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got_f.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got_f.b))
+    np.testing.assert_array_equal(np.asarray(got_u.a), np.asarray(got_f.a))
+    np.testing.assert_array_equal(np.asarray(got_u.b), np.asarray(got_f.b))

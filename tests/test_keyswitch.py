@@ -276,3 +276,34 @@ def test_streamed_seeded_gather_bit_identical():
     o_j = jax.jit(ks.packing1_keyswitch)(c, sk1)
     o_d = ks.packing1_keyswitch(c, dense1)
     np.testing.assert_array_equal(np.asarray(o_j.a), np.asarray(o_d.a))
+
+
+def test_trlwe_keyswitch_seeded():
+    """Seeded multiply-style TRLWE-KS (`SeededTRLWEKSKey`): half the
+    stored bytes of the dense key, same keyswitch correctness — the mask
+    spectra regenerate from seeds inside the apply (the exact-arithmetic
+    equivalent of the reference's DFT-domain compressed samples,
+    `trlwe_compressed_vaes.c:88-202`)."""
+    sk, sk2, k = setup(7)
+    dense = ks.new_trlwe_ks_key(k[2], sk, sk2, P.t, P.base_bit)
+    seeded = ks.new_trlwe_ks_key_seeded(k[2], sk, sk2, P.t, P.base_bit)
+    dense_bytes = dense.v.nbytes + dense.vs.nbytes
+    seeded_bytes = (seeded.seeds.nbytes + seeded.b_v.nbytes
+                    + seeded.b_vs.nbytes)
+    assert seeded_bytes <= dense_bytes // (sk.k + 1) + seeded.seeds.nbytes
+    m = rng.uniform_torus(k[3], (P.N,))
+    c = trlwe.encrypt(m, sk2, k[4])
+    out = jax.jit(ks.trlwe_keyswitch)(c, seeded)
+    assert_torus_within(1 << 48, m, trlwe.phase(out, sk), "seeded ks")
+
+
+def test_eval_automorphism_seeded_keyset():
+    sk, _, k = setup(8)
+    gen = 7
+    aks = ks.new_automorphism_ks_keyset_seeded(k[2], sk, [gen], P.t,
+                                               P.base_bit)
+    m = rng.uniform_torus(k[3], (P.N,))
+    c = trlwe.encrypt(m, sk, k[4])
+    out = ks.eval_automorphism(c, gen, aks[gen])
+    assert_torus_within(1 << 48, polynomial.permute(m, gen),
+                        trlwe.phase(out, sk), "seeded eval auto")

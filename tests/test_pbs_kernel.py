@@ -42,7 +42,7 @@ def test_cmux_delta_exact(N, k, l, Bg_bit):
         spec[..., :, None, :, :], keyv, keyvs, plan, axis=-4)
     want = _ntt.from_ntt_u64(acc, plan)
 
-    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32)
     got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
                         keyvs.astype(jnp.uint32), kp, interpret=True)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
@@ -67,7 +67,7 @@ def test_batch_padding_path():
     acc = _ntt.pointwise_mul_acc_key(
         spec[..., :, None, :, :], keyv, keyvs, plan, axis=-4)
     want = _ntt.from_ntt_u64(acc, plan)
-    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32)
     got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
                         keyvs.astype(jnp.uint32), kp, interpret=True)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
@@ -102,7 +102,7 @@ def test_cmux_delta_mxu_tail(N, k, l, Bg_bit):
     acc = _ntt.pointwise_mul_acc_key(
         spec[..., :, None, :, :], keyv, keyvs, plan, axis=-4)
     want = _ntt.from_ntt_u64(acc, plan)
-    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, mxu=True)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32, mxu=True)
     assert kp.use_mxu
     got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
                         keyvs.astype(jnp.uint32), kp, interpret=True)
@@ -133,8 +133,8 @@ def test_blind_rotate_scan_mxu():
     keyvs = _ntt.make_shoup(keyv, plan.p[:, None])
     v32, vs32 = keyv.astype(jnp.uint32), keyvs.astype(jnp.uint32)
 
-    kp0 = pk.get_kernel_plan(N, primes, l, Bg_bit, k, mxu=False)
-    kp1 = pk.get_kernel_plan(N, primes, l, Bg_bit, k, mxu=True)
+    kp0 = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32, mxu=False)
+    kp1 = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32, mxu=True)
     assert kp1.use_mxu and not kp0.use_mxu
     want = pk.blind_rotate_scan(acc0, a_int, v32, vs32, kp0,
                                 interpret=True)
@@ -167,7 +167,7 @@ def test_cmux_delta_narrow_primes_lazy3():
     acc = _ntt.pointwise_mul_acc_key(
         spec[..., :, None, :, :], keyv, keyvs, plan, axis=-4)
     want = _ntt.from_ntt_u64(acc, plan)
-    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32)
     assert kp.lazy3 and not kp.barrett_ok
     got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
                         keyvs.astype(jnp.uint32), kp, interpret=True)

@@ -81,7 +81,7 @@ def test_blind_rotate_scan_rotntt_kernel_eq_jnp(mxu):
 
     want = _rotntt_jnp_scan(acc0, a_int, keyv, keyvs, plan, l, Bg_bit,
                             k, N)
-    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, mxu=mxu, rot_ntt=True)
+    kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32, mxu=mxu, rot_ntt=True)
     assert kp.rot_ntt and kp.use_mxu == mxu
     got = pk.blind_rotate_scan(acc0, a_int, keyv.astype(jnp.uint32),
                                keyvs.astype(jnp.uint32), kp,

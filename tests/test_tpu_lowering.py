@@ -128,6 +128,11 @@ def test_lower_auto_keyswitch_stream(mode):
     kidx = _rand((B,), np.int32, hi=G)
     _lower_tpu(lambda p_, a_, i_:
                pk.auto_keyswitch_stream(p_, a_, i_, kp), perm, ak, kidx)
+    # fused in-kernel Galois permutation (dynamic lane gather per limb)
+    ginv = _rand((B,), np.int32, hi=2 * N) | jnp.int32(1)
+    _lower_tpu(lambda p_, a_, i_, g_:
+               pk.auto_keyswitch_stream(p_, a_, i_, kp, ginv=g_),
+               perm, ak, kidx, ginv)
 
 
 @pytest.mark.parametrize("mode", ["default", "mxu", "rotntt_mxu"])
