@@ -44,28 +44,54 @@ def _err(want, got):
     return float(d.max())
 
 
-def run_set(set_name, emit):
+ALL_OPS = ("pbs", "trgsw_mul", "trgsw_reg_sub", "trgsw_bootstrap",
+           "fdfb_this_work", "priv_ks", "tlwe_mul", "fdfb_ks21",
+           "fdfb_clot21", "circuit_bootstrap", "ga_bootstrap")
+
+# op groups for MATRIX_PER_OP mode: the two HBM giants get a fresh
+# process (and skip the keygens their ops don't need)
+OP_GROUPS = (
+    "pbs,trgsw_mul,trgsw_reg_sub,trgsw_bootstrap,fdfb_this_work,priv_ks",
+    "tlwe_mul,fdfb_ks21,fdfb_clot21",
+    "circuit_bootstrap",
+    "ga_bootstrap",
+)
+
+
+def run_set(set_name, emit, ops=None):
     from mosfhet_tpu import (params, tlwe, trlwe, trgsw, bootstrap,
                              bootstrap_ga, keyswitch as ks, product, rng,
                              torus)
+    ops = set(ops) if ops else set(ALL_OPS)
+
+    def needed(*names):
+        return any(o in ops for o in names)
+
     p = params.get_params(set_name)
     KEY = jax.random.PRNGKey(20260817)
     kk = jax.random.split(jax.random.fold_in(KEY, hash(set_name) % 97), 10)
     t0 = time.time()
     # Base keygen is guarded too: the r3 run aborted with a bare
     # RESOURCE_EXHAUSTED and zero rows, so every failure must name its step
-    # and rows must stream out as they are produced.
+    # and rows must stream out as they are produced.  Keys are generated
+    # only when a requested op needs them (per-op children keep a minimal
+    # footprint).
     try:
         key_tlwe = tlwe.new_binary_key(kk[0], p.n, p.lwe_sigma)
         key_trlwe = trlwe.new_binary_key(kk[1], p.N, p.k, p.rlwe_sigma)
         key_out = trlwe.extract_tlwe_key(key_trlwe)
         gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
-        bk = jax.jit(lambda r, k_: bootstrap.new_key(r, gk, k_, 1))(
-            kk[2], key_tlwe)
-        jax.block_until_ready(bk.v)
-        rlk = jax.jit(lambda r, k_: ks.new_rl_key(r, k_, 2, 20))(
-            kk[5], key_trlwe)
-        jax.block_until_ready(rlk.v)
+        bk = None
+        if needed("pbs", "trgsw_bootstrap", "fdfb_this_work", "tlwe_mul",
+                  "fdfb_ks21", "fdfb_clot21", "circuit_bootstrap"):
+            bk = jax.jit(lambda r, k_: bootstrap.new_key(r, gk, k_, 1))(
+                kk[2], key_tlwe)
+            jax.block_until_ready(bk.v)
+        rlk = None
+        if needed("tlwe_mul", "fdfb_clot21"):
+            rlk = jax.jit(lambda r, k_: ks.new_rl_key(r, k_, 2, 20))(
+                kk[5], key_trlwe)
+            jax.block_until_ready(rlk.v)
     except Exception as ex:
         emit({"set": set_name, "op": "__setup__", "ok": False,
               "detail": f"base keygen: {type(ex).__name__}: {ex}"[:160]})
@@ -81,9 +107,11 @@ def run_set(set_name, emit):
                 f"({type(ex).__name__}) — dependent ops skipped")
             return None
 
-    tksk = try_key("tlwe_ks", lambda: jax.jit(
-        lambda r, a, b: tlwe.new_ks_key(
-            r, a, b, p.t, p.base_bit))(kk[9], key_tlwe, key_out))
+    tksk = None
+    if needed("fdfb_this_work"):
+        tksk = try_key("tlwe_ks", lambda: jax.jit(
+            lambda r, a, b: tlwe.new_ks_key(
+                r, a, b, p.t, p.base_bit))(kk[9], key_tlwe, key_out))
     tab_bytes = (p.k * p.N) * p.t * ((1 << p.base_bit) - 1) \
         * (p.k + 1) * p.N * 8
     big_keys = tab_bytes > 6 << 30
@@ -122,7 +150,10 @@ def run_set(set_name, emit):
 
     def guarded(op, fn):
         """Run one op; an exception (incl. OOM) reports FAIL and moves
-        on instead of aborting the set."""
+        on instead of aborting the set.  Skips ops outside the child's
+        MATRIX_OPS filter."""
+        if op not in ops:
+            return
         try:
             fn()
         except Exception as ex:
@@ -206,7 +237,8 @@ def run_set(set_name, emit):
     guarded("priv_ks", op_priv_ks)
 
     # ---- ops needing the packing1 table (generated once, freed last) ----
-    ksk1 = gen_ksk1()
+    ksk1 = gen_ksk1() if needed("tlwe_mul", "fdfb_ks21", "fdfb_clot21",
+                                "circuit_bootstrap") else None
 
     def op_tlwe_mul():
         in1, in2 = 5, 11
@@ -252,7 +284,7 @@ def run_set(set_name, emit):
     # ---- circuit bootstrap: the ONE op needing packing1 + priv-SK at
     # once (`bootstrap.c:309-322`) — generate priv-SK last, free both
     # immediately after
-    kska = gen_kska()
+    kska = gen_kska() if needed("circuit_bootstrap") else None
 
     def op_circuit_bootstrap():
         m0 = rng.uniform_torus(jax.random.fold_in(KEY, 17), (p.N,))
@@ -290,7 +322,9 @@ def run_set(set_name, emit):
 def main():
     child = os.environ.get("MATRIX_CHILD")
     if child:
-        run_set(child, lambda r: print(json.dumps(r), flush=True))
+        opsl = os.environ.get("MATRIX_OPS")
+        run_set(child, lambda r: print(json.dumps(r), flush=True),
+                ops=opsl.split(",") if opsl else None)
         return
 
     # parent: one subprocess per set (sequential — the axon tunnel serves
@@ -299,8 +333,17 @@ def main():
     import subprocess
     sets = os.environ.get("MATRIX_SETS", "SET_1,SET_2,SET_3,TFHEPP_L2")
     tmo = int(os.environ.get("MATRIX_SET_TIMEOUT", "7000"))
+    per_op = os.environ.get("MATRIX_PER_OP") == "1"
+    jobs = []
     for s in sets.split(","):
+        if per_op:
+            jobs += [(s, g) for g in OP_GROUPS]
+        else:
+            jobs.append((s, None))
+    for s, grp in jobs:
         env = dict(os.environ, MATRIX_CHILD=s)
+        if grp:
+            env["MATRIX_OPS"] = grp
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
