@@ -334,10 +334,18 @@ def main():
     sets = os.environ.get("MATRIX_SETS", "SET_1,SET_2,SET_3,TFHEPP_L2")
     tmo = int(os.environ.get("MATRIX_SET_TIMEOUT", "7000"))
     per_op = os.environ.get("MATRIX_PER_OP") == "1"
+    only = os.environ.get("MATRIX_ONLY_OPS")   # csv filter on op names
+    only_set = set(only.split(",")) if only else None
     jobs = []
     for s in sets.split(","):
         if per_op:
-            jobs += [(s, g) for g in OP_GROUPS]
+            for g in OP_GROUPS:
+                gset = set(g.split(","))
+                if only_set is not None:
+                    gset &= only_set
+                    if not gset:
+                        continue
+                jobs.append((s, ",".join(sorted(gset))))
         else:
             jobs.append((s, None))
     for s, grp in jobs:
