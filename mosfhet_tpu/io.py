@@ -43,6 +43,7 @@ def _registry():
         keyswitch.TRLWEKSKey, keyswitch.GenericKSKey,
         keyswitch.LUTPackingKSKey, keyswitch.FullPackingKSKey,
         keyswitch.SeededGenericKSKey, keyswitch.SeededLUTPackingKSKey,
+        keyswitch.SeededTRLWEKSKey,
         bootstrap.BootstrapKey, bootstrap_ga.GABootstrapKey,
         seeded.SeededTRLWE, seeded.MosfhetSeededTRLWE,
     ]

@@ -228,8 +228,9 @@ def test_io_roundtrip(tmp_path):
     c = trlwe.encrypt(m, sk, kk[2])
     g = trgsw.to_dft(trgsw.monomial_encrypt(1, 3, gk, kk[3]), gk.plan())
     ksk = ks.new_trlwe_ks_key(kk[4], sk, sk, P.t, P.base_bit)
+    sksk = ks.new_trlwe_ks_key_seeded(kk[5], sk, sk, P.t, P.base_bit)
     for name, obj in (("sk", sk), ("tk", tk), ("c", c), ("g", g),
-                      ("ksk", ksk)):
+                      ("ksk", ksk), ("sksk", sksk)):
         path = tmp_path / f"{name}.mtpu"
         mio.save(path, obj)
         back = mio.load(path)
