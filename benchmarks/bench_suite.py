@@ -63,7 +63,7 @@ def main():
     from mosfhet_tpu import (params, tlwe, trlwe, trgsw, bootstrap, rng,
                              torus, keyswitch, product, ntt)
 
-    p = params.TFHEPP_L2
+    p = params.get_params(os.environ.get("BENCH_PARAMS", "TFHEPP_L2"))
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     sections = os.environ.get(
@@ -180,6 +180,103 @@ def main():
         dt = timed(f, c1, c2, reps=reps)
         results.append(report("tensor_prod_fft", dt / mp.shape[0] * 1e3,
                               mp.shape[0]))
+
+    if "ks2" in sections:
+        # the reference's BENCH_{PRIV_KS,PACK1_KS,LUT_KS,CDKS21_KS}
+        # sections (`benchmark.c:142-188`); packing1/priv-SK/LUT tables
+        # are multi-GiB dense at L2 — seeded keys + streamed apply
+        bks = max(batch // 8, 32)
+        msk = torus.double2torus((jnp.arange(bks) % 4) / 8.0)
+        ck = jax.jit(tlwe.encrypt)(msk, key_ext, ks[7])
+        t0 = time.time()
+        kskb = keyswitch.new_packing1_ks_key_seeded(
+            ks[6], key_trlwe, key_ext, p.t, p.base_bit)
+        jax.block_until_ready(kskb.b)
+        print(f"# packing1 seeded keygen {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        f = jax.jit(keyswitch.packing1_keyswitch)
+        dt = timed(f, ck, kskb, reps=reps)
+        results.append(report("packing1_ks", dt / bks * 1e3, bks))
+        del kskb
+
+        t0 = time.time()
+        kska = keyswitch.new_priv_sk_ks_key_seeded(
+            ks[8], key_trlwe, key_ext, p.t, p.base_bit)
+        jax.block_until_ready(kska.b)
+        print(f"# priv-SK seeded keygen {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        f = jax.jit(keyswitch.priv_keyswitch)
+        dt = timed(f, ck, kska, reps=reps)
+        results.append(report("priv_ks", dt / bks * 1e3, bks))
+        del kska
+
+        t0 = time.time()
+        lutk = keyswitch.new_lut_packing_ks_key_seeded(
+            ks[9], key_trlwe, key_tlwe, p.t, p.base_bit, 4)
+        jax.block_until_ready(lutk.b)
+        print(f"# LUT-packing seeded keygen {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        ms4 = torus.double2torus((jnp.arange(bks * 4) % 4) / 8.0
+                                 ).reshape(bks, 4)
+        c4 = jax.jit(tlwe.encrypt)(ms4, key_tlwe, ks[5])
+        f = jax.jit(keyswitch.lut_packing_keyswitch)
+        dt = timed(f, c4, lutk, reps=reps)
+        results.append(report("lut_packing_ks", dt / bks * 1e3, bks))
+        del lutk
+
+        cdk = keyswitch.new_cdks21_packing_keys(
+            ks[6], key_trlwe, key_ext, p.t, p.base_bit)
+        f = jax.jit(lambda c: keyswitch.packing1_keyswitch_cdks21(c, cdk))
+        dt = timed(f, ck, reps=reps)
+        results.append(report("cdks21_ks", dt / bks * 1e3, bks))
+
+    if "cb" in sections:
+        # BENCH_CIRCUIT_BOOTSTRAP (`benchmark.c:189-205`): v1 (l PBS), v2
+        # (many-LUT), v3 (TRLWE priv-KS pair)
+        bks = max(batch // 16, 16)
+        msk = torus.double2torus(jnp.full((bks,), 1 / 4.0))
+        ck = jax.jit(tlwe.encrypt)(msk, key_tlwe, ks[7])
+        kskb = keyswitch.new_packing1_ks_key_seeded(
+            ks[6], key_trlwe, key_ext, p.t, p.base_bit)
+        kska = keyswitch.new_priv_sk_ks_key_seeded(
+            ks[8], key_trlwe, key_ext, p.t, p.base_bit)
+        for name, fn in (
+            ("circuit_bootstrap", lambda c: bootstrap.circuit_bootstrap(
+                c, bk, kska, kskb, p.l, p.Bg_bit)),
+            ("circuit_bootstrap_2", lambda c: bootstrap.circuit_bootstrap_2(
+                c, bk, kska, kskb, p.l, p.Bg_bit)),
+        ):
+            dt = timed(jax.jit(fn), ck, reps=reps)
+            results.append(report(name, dt / bks * 1e3, bks))
+        del kska
+        pair = keyswitch.new_priv_ks_key_pair(ks[9], key_trlwe, key_trlwe,
+                                              10, 4)
+        dt = timed(jax.jit(lambda c: bootstrap.circuit_bootstrap_3(
+            c, bk, pair, kskb, p.l, p.Bg_bit)), ck, reps=reps)
+        results.append(report("circuit_bootstrap_3", dt / bks * 1e3, bks))
+        del pair, kskb
+
+    if "fdfb" in sections:
+        # BENCH_FDFB (`benchmark.c:223-260`)
+        bks = max(batch // 8, 32)
+        luts8 = rng.uniform_torus(ks[5], (8,))
+        tvp = jnp.repeat(luts8, (2 * p.N) // 8)
+        msk = torus.int2torus(jnp.asarray(jnp.arange(bks) % 8,
+                                          jnp.uint64), 3)
+        ck = jax.jit(tlwe.encrypt)(msk, key_tlwe, ks[7])
+        kskb = keyswitch.new_packing1_ks_key_seeded(
+            ks[6], key_trlwe, key_ext, p.t, p.base_bit)
+        dt = timed(jax.jit(lambda c: bootstrap.fdfb_ks21(
+            tvp, c, bk, kskb, 8)), ck, reps=reps)
+        results.append(report("fdfb_ks21", dt / bks * 1e3, bks))
+        del kskb
+        tksk = jax.jit(lambda r: tlwe.new_ks_key(
+            r, key_tlwe, key_ext, p.t, p.base_bit))(ks[8])
+        luts8b = rng.uniform_torus(ks[9], (8,))
+        tvm = trlwe.torus_packing_many_lut(luts8b, 4, 2, p.k, p.N)
+        dt = timed(jax.jit(lambda c: bootstrap.fdfb_this_work(
+            tvm, c, bk, tksk, 3)), ck, reps=reps)
+        results.append(report("fdfb_this_work", dt / bks * 1e3, bks))
 
     print(json.dumps({"metric": "suite", "sections": len(results)}))
 
