@@ -66,6 +66,8 @@ def main():
         "metric": "ga_bootstrap_L2", "value": round(dt * 1e3, 3),
         "unit": "ms/bootstrap", "vs_baseline": None, "batch": batch,
         "decrypt_ok": bool(ok),
+        "fused_perm": os.environ.get("MOSFHET_GA_FUSED", "1") == "1",
+        "stream": os.environ.get("MOSFHET_GA_STREAM", "1") == "1",
     }
 
     # MXU-NTT leg (same pattern as bench.py / bench_torus32): re-trace the
