@@ -210,25 +210,45 @@ def main():
         results.append(report("priv_ks", dt / bks * 1e3, bks))
         del kska
 
-        t0 = time.time()
-        lutk = keyswitch.new_lut_packing_ks_key_seeded(
-            ks[9], key_trlwe, key_tlwe, p.t, p.base_bit, 4)
-        jax.block_until_ready(lutk.b)
-        print(f"# LUT-packing seeded keygen {time.time()-t0:.0f}s",
-              file=sys.stderr)
-        ms4 = torus.double2torus((jnp.arange(bks * 4) % 4) / 8.0
-                                 ).reshape(bks, 4)
-        c4 = jax.jit(tlwe.encrypt)(ms4, key_tlwe, ks[5])
-        f = jax.jit(keyswitch.lut_packing_keyswitch)
-        dt = timed(f, c4, lutk, reps=reps)
-        results.append(report("lut_packing_ks", dt / bks * 1e3, bks))
-        del lutk
+        # run the remaining sub-benches independently: one key family
+        # OOMing (LUT table at L2 sits right at the HBM edge after the
+        # packing1/priv-SK transients) must not lose the later rows
+        import gc
 
-        cdk = keyswitch.new_cdks21_packing_keys(
-            ks[6], key_trlwe, key_ext, p.t, p.base_bit)
-        f = jax.jit(lambda c: keyswitch.packing1_keyswitch_cdks21(c, cdk))
-        dt = timed(f, ck, reps=reps)
-        results.append(report("cdks21_ks", dt / bks * 1e3, bks))
+        def attempt(label, fn):
+            gc.collect()   # drop freed device buffers before big keygen
+            try:
+                fn()
+            except Exception as ex:
+                print(f"# {label} failed: {type(ex).__name__}",
+                      file=sys.stderr)
+                results.append(report(label, float("nan"), bks,
+                                      {"ok": False,
+                                       "err": type(ex).__name__}))
+
+        def lut_bench():
+            t0 = time.time()
+            lutk = keyswitch.new_lut_packing_ks_key_seeded(
+                ks[9], key_trlwe, key_tlwe, p.t, p.base_bit, 4)
+            jax.block_until_ready(lutk.b)
+            print(f"# LUT-packing seeded keygen {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+            ms4 = torus.double2torus((jnp.arange(bks * 4) % 4) / 8.0
+                                     ).reshape(bks, 4)
+            c4 = jax.jit(tlwe.encrypt)(ms4, key_tlwe, ks[5])
+            f = jax.jit(keyswitch.lut_packing_keyswitch)
+            dt = timed(f, c4, lutk, reps=reps)
+            results.append(report("lut_packing_ks", dt / bks * 1e3, bks))
+        attempt("lut_packing_ks", lut_bench)
+
+        def cdks_bench():
+            cdk = keyswitch.new_cdks21_packing_keys(
+                ks[6], key_trlwe, key_ext, p.t, p.base_bit)
+            f = jax.jit(lambda c: keyswitch.packing1_keyswitch_cdks21(
+                c, cdk))
+            dt = timed(f, ck, reps=reps)
+            results.append(report("cdks21_ks", dt / bks * 1e3, bks))
+        attempt("cdks21_ks", cdks_bench)
 
     if "cb" in sections:
         # BENCH_CIRCUIT_BOOTSTRAP (`benchmark.c:189-205`): v1 (l PBS), v2

@@ -933,6 +933,11 @@ def _cmux_delta_tiles(rot_tiles, keyv, keyvs, kp: PBSKernelPlan,
             pltpu.VMEM((J, bt, N), jnp.int32),
             pltpu.VMEM((C, P, bt, N), _U32),
         ],
+        # bt=64 pushes the stack past the default 16 MiB scoped-vmem limit
+        # (measured: batch-1 GA cell, 18.05M) — raise it like the other
+        # production kernels
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -1015,10 +1020,14 @@ def _negacyclic_rotate_limbs(lo, hi, a_col, liota, N: int):
 
 
 def _take_lanes(x, idx):
-    """take_along_axis(axis=1) on a [BT, N] tile via lax.gather with i32
-    indices — the exact GatherDimensionNumbers Mosaic lowers to ONE
+    """take_along_axis(axis=1) on a [BT, L<=128] tile via lax.gather with
+    i32 indices — the exact GatherDimensionNumbers Mosaic lowers to ONE
     `tpu.dynamic_gather` (jnp.take_along_axis inserts an i64 index cast
-    under x64 mode, which Mosaic rejects)."""
+    under x64 mode, which Mosaic rejects).  HARDWARE CONSTRAINT (measured
+    on v5e, round 4): the source may span only ONE vreg along the gather
+    (lane) dimension — L must be <= 128 ("Multiple source vregs along
+    gather dimension" otherwise).  Wide gathers go through
+    `_take_lanes_wide`."""
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
         operand_batching_dims=(0,), start_indices_batching_dims=(0,))
@@ -1027,22 +1036,57 @@ def _take_lanes(x, idx):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
+_GATHER_LANES = 128  # one vreg along lanes: Mosaic dynamic_gather's limit
+
+
+def _take_lanes_wide(x, gidx, N: int):
+    """out[:, j] = x[:, gidx[:, j]] on a [BT, N] tile, N a multiple of 128.
+
+    Mosaic's `tpu.dynamic_gather` handles one source vreg along lanes, so
+    the wide gather is factorized: write gidx = 128*Q + R.  Because 128 |
+    N and the GA index map is linear (gidx[j] = (ginv*j mod 2N) mod N),
+    R = gidx mod 128 depends only on j mod 128 — every 128-lane chunk of
+    the source is gathered with the SAME per-row index vector (one
+    single-vreg dynamic_gather per chunk), then each output chunk selects
+    per lane among the 16 gathered candidates by Q (compare+select tree,
+    all full-vreg VPU ops).  Exact for any gidx whose low 7 bits are
+    lane-periodic; asserted by construction in `_galois_permute_limbs`."""
+    L = _GATHER_LANES
+    if N <= L:
+        return _take_lanes(x, gidx)
+    nchunks = N // L
+    r = gidx[:, :L] & jnp.int32(L - 1)          # [BT, 128] per-row lane idx
+    q_arr = gidx >> jnp.int32(7)                 # [BT, N] chunk selector
+    gathered = [_take_lanes(x[:, q * L:(q + 1) * L], r)
+                for q in range(nchunks)]
+    outs = []
+    for a in range(nchunks):
+        qa = q_arr[:, a * L:(a + 1) * L]
+        acc = gathered[0]
+        for q in range(1, nchunks):
+            acc = jnp.where(qa == jnp.int32(q), gathered[q], acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
 def _galois_permute_limbs(lo, hi, ginv_col, N: int):
     """Per-row Galois permutation psi_gen (x^i -> x^(gen*i)) of u64
     polynomial rows (lo, hi) [BT, N]; ginv_col [BT, 1] i32 holds gen^-1
-    mod 2N per row.  out[j] = +- in[(j*ginv mod 2N) mod N] — ONE dynamic
-    lane gather per limb plus a conditional two's-complement negation,
-    replacing the log2(N/2)+1 conditional XLA gather stages of
+    mod 2N per row.  out[j] = +- in[(j*ginv mod 2N) mod N] — a factorized
+    dynamic lane gather per limb (`_take_lanes_wide`: one single-vreg
+    gather per 128-lane chunk + a Q-select combine, the form v5e Mosaic
+    compiles) plus a conditional two's-complement negation, replacing the
+    log2(N/2)+1 conditional XLA gather stages of
     `bootstrap_ga._permute_log` (`polynomial_permute`,
     `/root/reference/src/polynomial.c:439-450`)."""
     j = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
     ic = (j * ginv_col) & jnp.int32(2 * N - 1)
     gidx = ic & jnp.int32(N - 1)
     neg = (ic & jnp.int32(N)) != 0
-    glo = _take_lanes(lo, gidx)
+    glo = _take_lanes_wide(lo, gidx, N)
     if hi is None:
         return jnp.where(neg, _U32(0) - glo, glo), None
-    ghi = _take_lanes(hi, gidx)
+    ghi = _take_lanes_wide(hi, gidx, N)
     nlo, nhi = _neg_u64(glo, ghi)
     return jnp.where(neg, nlo, glo), jnp.where(neg, nhi, ghi)
 
