@@ -49,10 +49,15 @@ def timed(fn, *args, reps=3):
 
 
 def report(name, per_op_ms, batch, extra=None):
+    # failed rows pass per_op_ms=None: value must be null, never the
+    # non-standard NaN token (strict JSON parsers reject it)
     base = BASELINES_MS.get(name)
-    rec = {"metric": name, "value": round(per_op_ms, 6), "unit": "ms/op",
-           "batch": batch,
-           "vs_baseline": round(base / per_op_ms, 2) if base else None}
+    ok = per_op_ms is not None and per_op_ms == per_op_ms
+    rec = {"metric": name,
+           "value": round(per_op_ms, 6) if ok else None,
+           "unit": "ms/op", "batch": batch,
+           "vs_baseline": round(base / per_op_ms, 2) if (base and ok)
+           else None}
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
@@ -222,7 +227,7 @@ def main():
             except Exception as ex:
                 print(f"# {label} failed: {type(ex).__name__}",
                       file=sys.stderr)
-                results.append(report(label, float("nan"), bks,
+                results.append(report(label, None, bks,
                                       {"ok": False,
                                        "err": type(ex).__name__}))
 

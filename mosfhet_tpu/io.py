@@ -34,8 +34,13 @@ VERSION = 2
 # import cycles.
 def _registry():
     from . import tlwe, trlwe, trgsw, keyswitch, bootstrap, seeded
-    from . import bootstrap_ga
+    from . import bootstrap_ga, params
+    from .apps import ufhe
     types = [
+        # application keysets (`applications/multi-ciphertext-arith/src/io.c`
+        # ships ufhe keyset IO in the reference)
+        params.TFHEParams,
+        ufhe.PrivKeyset, ufhe.PublicKeyset, ufhe.Context, ufhe.Integer,
         tlwe.TLWE, tlwe.TLWEKey, tlwe.TLWEKSKey, tlwe.TLWEKSKeyM,
         tlwe.TLWEKSKeyPrepared,
         trlwe.TRLWE, trlwe.TRLWEKey, trlwe.TRLWEDFT,

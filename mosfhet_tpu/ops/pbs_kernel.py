@@ -1056,7 +1056,7 @@ def _take_lanes_wide(x, gidx, N: int):
         return _take_lanes(x, gidx)
     nchunks = N // L
     r = gidx[:, :L] & jnp.int32(L - 1)          # [BT, 128] per-row lane idx
-    q_arr = gidx >> jnp.int32(7)                 # [BT, N] chunk selector
+    q_arr = gidx >> jnp.int32(L.bit_length() - 1)  # [BT, N] chunk selector
     gathered = [_take_lanes(x[:, q * L:(q + 1) * L], r)
                 for q in range(nchunks)]
     outs = []

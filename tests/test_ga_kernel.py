@@ -76,6 +76,50 @@ def test_ga_kernel_bit_exact():
     assert err.max() <= float(1 << 58), f"err 2^{np.log2(err.max()+1):.1f}"
 
 
+def test_take_lanes_wide_bit_exact():
+    """`_take_lanes_wide` / `_galois_permute_limbs` (the factorized wide
+    lane gather used by every production fused-permute shape, N >= 256)
+    vs jnp.take_along_axis, over random odd generators.  The P_GA parity
+    tests above use N=128 and take the single-vreg `_take_lanes`
+    fallback; this pins the wide path's bit-exactness in CI (advisor
+    round-4 medium finding)."""
+    from mosfhet_tpu.ops import pbs_kernel as pk
+    rs = np.random.RandomState(7)
+    for N in (256, 1024, 2048):
+        BT = 8
+        lo = jnp.asarray(rs.randint(0, 2**32, (BT, N), np.uint64),
+                         jnp.uint32)
+        hi = jnp.asarray(rs.randint(0, 2**32, (BT, N), np.uint64),
+                         jnp.uint32)
+        gen = rs.randint(0, N, BT) * 2 + 1          # odd gens mod 2N
+        ginv = np.array([pow(int(g), -1, 2 * N) for g in gen], np.int32)
+        ginv_col = jnp.asarray(ginv[:, None])
+        # oracle: out[j] = +- in[(j*ginv mod 2N) mod N]
+        j = np.arange(N)[None, :]
+        ic = (j * ginv[:, None]) % (2 * N)
+        gidx = ic % N
+        neg = (ic & N) != 0
+        v = (np.asarray(lo, np.uint64)
+             | (np.asarray(hi, np.uint64) << np.uint64(32)))
+        want = np.take_along_axis(v, gidx, axis=1)
+        want = np.where(neg, np.uint64(0) - want, want)
+        # direct wide-gather check (unsigned, no negation)
+        got_g = pk._take_lanes_wide(lo, jnp.asarray(gidx, jnp.int32), N)
+        np.testing.assert_array_equal(
+            np.asarray(got_g), np.take_along_axis(np.asarray(lo), gidx, 1))
+        # full permute with the conditional negation, both limbs
+        glo, ghi = pk._galois_permute_limbs(lo, hi, ginv_col, N)
+        got = (np.asarray(glo, np.uint64)
+               | (np.asarray(ghi, np.uint64) << np.uint64(32)))
+        np.testing.assert_array_equal(got, want)
+        # single-limb (TORUS32) form
+        glo1, none = pk._galois_permute_limbs(lo, None, ginv_col, N)
+        assert none is None
+        want32 = np.take_along_axis(np.asarray(lo), gidx, 1)
+        want32 = np.where(neg, np.uint32(0) - want32, want32)
+        np.testing.assert_array_equal(np.asarray(glo1), want32)
+
+
 def test_ga_kernel_fused_permute(monkeypatch):
     """The in-kernel Galois permutation (MOSFHET_GA_FUSED=1, one dynamic
     lane gather per limb inside the stream keyswitch kernel) must be

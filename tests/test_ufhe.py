@@ -134,3 +134,28 @@ def test_batched_integers(ctx_keys):
         torus.torus2double(phc) * (2 * ctx.torus_base)).astype(jnp.int64)
         % ctx.torus_base)
     np.testing.assert_array_equal(gotc, [0, 2, 1])     # <, >, ==
+
+
+def test_keyset_io_roundtrip(ctx_keys, tmp_path):
+    """ufhe keyset serialization (`applications/multi-ciphertext-arith/
+    src/io.c` ships keyset IO in the reference): PrivKeyset, Context
+    (embedding PublicKeyset) and an encrypted Integer survive the native
+    versioned save/load byte-exactly, and the loaded keyset decrypts."""
+    import numpy as np
+    from mosfhet_tpu import io as mio
+    priv, ctx = ctx_keys
+    c = ufhe.encrypt_integer(jax.random.fold_in(KEY, 90), 11, 4, False, priv,
+                             ctx)
+    for name, obj in (("priv", priv), ("ctx", ctx), ("int", c)):
+        path = tmp_path / f"{name}.mtpu"
+        mio.save(path, obj)
+        back = mio.load(path)
+        la, ta = jax.tree_util.tree_flatten(obj)
+        lb, tb = jax.tree_util.tree_flatten(back)
+        assert ta == tb, f"{name}: treedef (static fields) mismatch"
+        for a_, b_ in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    back_priv = mio.load(tmp_path / "priv.mtpu")
+    back_ctx = mio.load(tmp_path / "ctx.mtpu")
+    back_c = mio.load(tmp_path / "int.mtpu")
+    assert ufhe.decrypt_integer(back_c, back_priv, back_ctx) == 11
