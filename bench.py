@@ -167,6 +167,7 @@ def main():
         "primes": list(int(q) for q in bk.primes),
     }
 
+
     # -- alternate-plan leg: the NTT plan defaults to int8-MXU tails
     # (MOSFHET_NTT_MXU=1 since round 3); re-trace with the OTHER plan
     # (roll when primary is MXU, and vice versa) as an in-process
@@ -216,6 +217,31 @@ def main():
                 os.environ.pop("MOSFHET_NTT_MXU", None)
             else:
                 os.environ["MOSFHET_NTT_MXU"] = saved
+
+    # -- MFU / roofline for the WINNING plan: count VPU ops, MXU MACs and
+    # HBM bytes of the actual traced program (utils/roofline.py) and
+    # report the achieved fraction of the chip's speed-of-light on the
+    # binding resource.  Tracing only — no device work; must never sink
+    # the headline row.
+    if os.environ.get("BENCH_MFU", "1") == "1" and result["value"] > 0:
+        saved_mfu = os.environ.get("MOSFHET_NTT_MXU")
+        try:
+            from mosfhet_tpu.utils import roofline
+            os.environ["MOSFHET_NTT_MXU"] = \
+                "1" if result["ntt"] == "mxu" else "0"
+            counts = roofline.count_pbs(p, batch)
+            result.update(roofline.report(counts, 1.0 / result["value"]))
+            print(f"# roofline: bound={result['bound']} "
+                  f"mfu={result['mfu']} sol={result['sol_ms']} ms/boot",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# roofline counting failed: {str(e)[-200:]}",
+                  file=sys.stderr)
+        finally:
+            if saved_mfu is None:
+                os.environ.pop("MOSFHET_NTT_MXU", None)
+            else:
+                os.environ["MOSFHET_NTT_MXU"] = saved_mfu
 
     # TORUS32 row (the reference's -DTORUS32 build, measured as a
     # subprocess before this client attached to the device)

@@ -70,12 +70,17 @@ def kernel_eligible(N: int, primes) -> bool:
     import os
     if os.environ.get("MOSFHET_TPU_FORCE_JNP"):
         return False
+    shape_ok = (N >= 128 and N & (N - 1) == 0
+                and all((1 << 28) < p < (1 << 30) for p in primes))
+    if os.environ.get("MOSFHET_TPU_FORCE_KERNEL"):
+        # trace-only escape hatch (roofline op counting on CPU): the
+        # pallas path TRACES fine anywhere; it just cannot execute
+        return shape_ok
     try:
         plat = jax.devices()[0].platform
     except Exception:
         return False
-    return (plat in ("tpu", "axon") and N >= 128 and N & (N - 1) == 0
-            and all((1 << 28) < p < (1 << 30) for p in primes))
+    return plat in ("tpu", "axon") and shape_ok
 
 
 # ---------------------------------------------------------------------------
