@@ -113,11 +113,17 @@ def main():
     key_trlwe = trlwe.new_binary_key(k1, p.N, p.k, p.rlwe_sigma)
     key_out = trlwe.extract_tlwe_key(key_trlwe)
     gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
-    bk = jax.jit(
-        lambda rk, kt: bootstrap.new_key(rk, gk, kt, 1)
-    )(k2, key_tlwe)
+    # split keygen compile from keygen run: the two trims are different
+    # (cache/AOT vs kernel work), so the bench reports both
+    bk_fn = jax.jit(lambda rk, kt: bootstrap.new_key(rk, gk, kt, 1))
+    compiled = bk_fn.lower(k2, key_tlwe).compile()
+    keygen_compile_s = time.time() - t0
+    t0 = time.time()
+    bk = compiled(k2, key_tlwe)
     jax.block_until_ready(bk.v)
-    print(f"# keygen: {time.time()-t0:.1f}s  bk.v {bk.v.shape} "
+    keygen_run_s = time.time() - t0
+    print(f"# keygen: compile {keygen_compile_s:.1f}s + run "
+          f"{keygen_run_s:.1f}s  bk.v {bk.v.shape} "
           f"{bk.v.nbytes/2**20:.0f} MiB (x2 shoup)", file=sys.stderr)
 
     luts = rng.uniform_torus(k3, (4,))
@@ -134,7 +140,9 @@ def main():
     t0 = time.time()
     out = pbs(tv, cs)
     jax.block_until_ready(out.b)
-    print(f"# first call (compile+run): {time.time()-t0:.1f}s", file=sys.stderr)
+    pbs_compile_s = time.time() - t0
+    print(f"# first call (compile+run): {pbs_compile_s:.1f}s",
+          file=sys.stderr)
 
     # correctness spot-check: decrypt and compare slots
     ph = jnp.asarray(jax.jit(tlwe.phase)(out, key_out), jnp.uint64)
@@ -165,6 +173,10 @@ def main():
         # active NTT prime set — makes ablation legs (e.g.
         # MOSFHET_NTT_PRIMES=narrow) self-documenting in the results
         "primes": list(int(q) for q in bk.primes),
+        # setup latency (time-to-first-bootstrap tracking)
+        "keygen_compile_s": round(keygen_compile_s, 1),
+        "keygen_run_s": round(keygen_run_s, 1),
+        "pbs_compile_s": round(pbs_compile_s, 1),
     }
 
 

@@ -48,6 +48,70 @@ ALL_OPS = ("pbs", "trgsw_mul", "trgsw_reg_sub", "trgsw_bootstrap",
            "fdfb_this_work", "priv_ks", "tlwe_mul", "fdfb_ks21",
            "fdfb_clot21", "circuit_bootstrap", "ga_bootstrap")
 
+# --- reference ground truth (MEASURED, benchmarks/ref_suite_r5/: the
+# reference's own Unity suite compiled per set, AVX-512 SPQLIOS + VAES,
+# this machine).  Mapping of our matrix ops to reference test names:
+# pbs=test_functional_bootstrap, trgsw_mul=test_trgsw_mul,
+# trgsw_reg_sub=test_trgsw_reg_sub,
+# trgsw_bootstrap=test_functional_bootstrap_trgsw,
+# fdfb_this_work=test_FDFB_new, priv_ks=test_trlwe_pack_key_priv_ks,
+# tlwe_mul=test_tlwe_mul, fdfb_ks21=test_FDFB_KS21,
+# fdfb_clot21=test_FDFB_CLOT21, circuit_bootstrap=test_circuit_bootstrap,
+# ga_bootstrap=test_functional_bootstrap_ga.
+# True = reference passes at that set.
+REF_EXPECTED = {
+    #                 SET_1  SET_2  SET_3  TFHEPP_L2
+    "pbs":               {"SET_1": True, "SET_2": True, "SET_3": True,
+                          "TFHEPP_L2": True},
+    "trgsw_mul":         {"SET_1": True, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "trgsw_reg_sub":     {"SET_1": False, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "trgsw_bootstrap":   {"SET_1": False, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "fdfb_this_work":    {"SET_1": False, "SET_2": True, "SET_3": True,
+                          "TFHEPP_L2": True},
+    "priv_ks":           {"SET_1": False, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "tlwe_mul":          {"SET_1": False, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "fdfb_ks21":         {"SET_1": False, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "fdfb_clot21":       {"SET_1": False, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "circuit_bootstrap": {"SET_1": False, "SET_2": False, "SET_3": False,
+                          "TFHEPP_L2": True},
+    "ga_bootstrap":      {"SET_1": False, "SET_2": True, "SET_3": True,
+                          "TFHEPP_L2": True},
+}
+# Cells at the noise edge where single reference runs flip between pass
+# and fail (measured: SET_1 test_tlwe_mul passed 1 of 4 reference runs —
+# ref_suite_r5/SET_1.log + three re-runs): directional parity cannot be
+# asserted from one run on either side.
+MARGINAL = {("SET_1", "tlwe_mul")}
+# Cells where we pass and the reference fails BECAUSE the exact CRT-NTT
+# removes the reference's ~2^-40 f64 FFT transform noise (analyzed in
+# BASELINE.md round-3 parity table) — a justified divergence in our favor.
+EXACT_NTT_ADVANTAGE = {("SET_1", "trgsw_reg_sub"), ("SET_1",
+                                                    "fdfb_this_work")}
+
+
+def match_field(set_name: str, op: str, ok: bool):
+    """Per-cell parity verdict vs the measured reference behavior:
+    "yes" (same outcome), "ours_better" (we pass, reference fails, known
+    exact-NTT cause), "marginal" (reference outcome flips run-to-run),
+    "NO" (unexplained divergence), or None (no ground-truth cell)."""
+    exp = REF_EXPECTED.get(op, {}).get(set_name)
+    if exp is None:
+        return None
+    if (set_name, op) in MARGINAL:
+        return "marginal"
+    if ok == exp:
+        return "yes"
+    if ok and not exp and (set_name, op) in EXACT_NTT_ADVANTAGE:
+        return "ours_better"
+    return "NO"
+
 # op groups for MATRIX_PER_OP mode: the two HBM giants get a fresh
 # process (and skip the keygens their ops don't need)
 OP_GROUPS = (
@@ -144,7 +208,7 @@ def run_set(set_name, emit, ops=None):
 
     def report(op, ok, detail):
         emit({"set": set_name, "op": op, "ok": bool(ok),
-              "detail": detail})
+              "detail": detail, "match": match_field(set_name, op, bool(ok))})
         log(f"# {set_name:10s} {op:22s} {'pass' if ok else 'FAIL'} "
             f"({detail})")
 
@@ -156,8 +220,17 @@ def run_set(set_name, emit, ops=None):
             return
         try:
             fn()
-        except Exception as ex:
+        except AssertionError as ex:
+            # deliberate key>HBM style guards: an execution-path fact
             report(op, False, f"{type(ex).__name__}: {ex}"[:80])
+        except Exception as ex:
+            # infra failure (OOM, Mosaic, tunnel): NOT a noise outcome —
+            # never allowed to masquerade as reference parity
+            emit({"set": set_name, "op": op, "ok": False,
+                  "detail": f"{type(ex).__name__}: {ex}"[:80],
+                  "match": "infra"})
+            log(f"# {set_name:10s} {op:22s} INFRA-FAIL "
+                f"({type(ex).__name__})")
         import gc
         gc.collect()
 

@@ -219,3 +219,186 @@ def pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
         return _run(tv.stacked(), c.b, c.a, bk.v, bk.vs)
 
     return run
+
+
+def unfolded_pbs_on_mesh(mesh: Mesh, bk: BootstrapKey, torus_base: int,
+                         data_axis: str = "data",
+                         model_axis: str | None = None):
+    """Mesh-sharded UNFOLDED blind-rotate bootstrap
+    (`blind_rotate_unfolded`, reference `bootstrap.c:124-148`).
+
+    Batch over `data_axis`.  With `model_axis`, the unfolded key's 2^u
+    expansion axis is sharded: each shard rotates and sums its 2^u/m key
+    TRGSWs and the u64 combines are psum'd per group — exact, because the
+    combine is a plain wraparound-u64 sum (the mod-2^64 reduction HAS to
+    happen before the NTT, ROADMAP's CRT-bound analysis, and addition
+    commutes with psum mod 2^64).  The NTT + external product then run
+    replicated per data shard.  Returns fn(tv[B...], c[B...]) -> TLWE.
+    """
+    from .. import bootstrap as _bs
+    assert bk.unfolding > 1
+    plan = bk.plan()
+    u, N, k, l, Bg_bit = bk.unfolding, bk.N, bk.k, bk.l, bk.Bg_bit
+    key_exp = 1 << u
+    log_N2 = int(math.log2(2 * N))
+    m_size = mesh.shape[model_axis] if model_axis else 1
+    assert key_exp % m_size == 0
+    eu = key_exp // m_size
+
+    # su limb planes are [nl, G, 2^u, R, C, N]: shard the 2^u axis
+    su_spec = P(None, None, model_axis) if model_axis else P()
+    in_specs = (P(data_axis), P(data_axis), P(data_axis), su_spec)
+
+    def inner(tv_st, b, a, su_planes):
+        su = su_planes[0].astype(jnp.uint64) if su_planes.shape[0] == 1 \
+            else (su_planes[0].astype(jnp.uint64)
+                  | (su_planes[1].astype(jnp.uint64) << jnp.uint64(32)))
+        b_int = torus2int(b + _prec_offset(torus_base),
+                          log_N2).astype(jnp.int32)
+        acc0 = _poly.mul_by_xai(tv_st, (2 * N - b_int)[..., None])
+        a_arr = jnp.asarray(a, TORUS_DTYPE)
+        rot = _bs._unfold_rotations(a_arr, bk)           # [..., G, 2^u]
+        if model_axis is not None and m_size > 1:
+            idx = jax.lax.axis_index(model_axis)
+            rot = jax.lax.dynamic_slice_in_dim(rot, idx * eu, eu, -1)
+        rot_scan = jnp.moveaxis(rot, -2, 0)              # [G, ..., eu]
+
+        def step(acc_st, xs):
+            su_g, rot_g = xs                             # [eu, R, C, N]
+            rotated = _poly.mul_by_xai(su_g, rot_g[..., :, None, None])
+            comb = jnp.sum(rotated, axis=-4, dtype=TORUS_DTYPE)
+            if model_axis is not None and m_size > 1:
+                comb = jax.lax.psum(comb, model_axis)    # exact mod 2^64
+            gd = _ntt.to_ntt_u64(comb, plan)
+            digits = gadget_decompose(acc_st, Bg_bit, l)
+            digits = digits.reshape(digits.shape[:-3] + ((k + 1) * l, N))
+            spec = _ntt.to_ntt_small(digits, plan)
+            acc_ntt = _ntt.pointwise_mul_acc_generic(
+                spec[..., :, None, :, :], gd, plan, axis=-4)
+            return _ntt.from_ntt_u64(acc_ntt, plan), None
+
+        out, _ = jax.lax.scan(step, acc0, (su, rot_scan))
+        return out
+
+    sharded = shard_map(inner, mesh=mesh, in_specs=in_specs,
+                        out_specs=P(data_axis), check_vma=False)
+
+    @jax.jit
+    def _run(tv_st, cb, ca, su_planes):
+        acc_st = sharded(tv_st, cb, ca, su_planes)
+        return _trlwe.extract_tlwe(from_stacked(acc_st), 0)
+
+    def run(tv: TRLWE, c: TLWE) -> TLWE:
+        return _run(tv.stacked(), c.b, c.a, bk.su)
+
+    return run
+
+
+def ga_pbs_on_mesh(mesh: Mesh, bkg, torus_base: int,
+                   data_axis: str = "data",
+                   model_axis: str | None = None):
+    """Mesh-sharded Galois-automorphism bootstrap
+    (`blind_rotate_ga`, reference `bootstrap_ga.c:39-60`).
+
+    Batch over `data_axis`.  With `model_axis`, BOTH row-sum contractions
+    are tensor-parallel: the external product's J=(k+1)l gadget rows
+    (s_v) and the automorphism keyswitch's k*t rows (ak_v) are sharded,
+    each step psum-ing the NTT-domain partial accumulators (u64 residues
+    < p; the sum of m partials is reduced right after, exactly as the
+    single-device row sum).  Returns fn(tv[B...], c[B...]) -> TLWE.
+    """
+    from .. import bootstrap_ga as _bga
+    from .. import keyswitch as _ks
+    N, k, l, Bg_bit = bkg.N, bkg.k, bkg.l, bkg.Bg_bit
+    t, base_bit = bkg.ks_t, bkg.ks_base_bit
+    plan = bkg.plan()
+    ks_plan = bkg.ks_plan()
+    log_N2 = int(math.log2(2 * N))
+    mod_mask = 2 * N - 1
+    J = (k + 1) * l
+    Jk = k * t
+    m_size = mesh.shape[model_axis] if model_axis else 1
+    # TP each of the two row contractions only where the row count is
+    # divisible by the model size; the other table is replicated (still
+    # correct, just no HBM saving for it)
+    tp_j = m_size > 1 and J % m_size == 0
+    tp_jk = m_size > 1 and Jk % m_size == 0
+    jm = J // m_size if tp_j else J
+    jkm = Jk // m_size if tp_jk else Jk
+
+    # s_v: [n, J, C, P, N] rows sharded on axis 1; ak_v: [N, Jk, C, P, N]
+    sv_spec = P(None, model_axis) if tp_j else P()
+    ak_spec = P(None, model_axis) if tp_jk else P()
+    in_specs = (P(data_axis), P(data_axis), P(data_axis),
+                sv_spec, sv_spec, ak_spec, ak_spec, P())
+
+    def inner(tv_st, b, a, sv, svs, akv, akvs, inv2n):
+        idx = jax.lax.axis_index(model_axis) if (tp_j or tp_jk) else 0
+
+        def ext_prod(acc_st, gv, gvs):
+            digits = gadget_decompose(acc_st, Bg_bit, l)
+            digits = digits.reshape(digits.shape[:-3] + (J, N))
+            if tp_j:
+                digits = jax.lax.dynamic_slice_in_dim(
+                    digits, idx * jm, jm, -2)
+            spec = _ntt.to_ntt_small(digits, plan)
+            r = _ntt.pointwise_mul_acc_key(
+                spec[..., :, None, :, :], gv, gvs, plan, axis=-4)
+            if tp_j:
+                r = jax.lax.psum(r, model_axis)
+                r = _ntt.barrett_small(r, plan.p[:, None], plan.mu[:, None])
+            return _ntt.from_ntt_u64(r, plan)
+
+        def eval_auto(acc_st, gen):
+            perm = _bga._permute_dyn(acc_st, gen, inv2n, N)
+            kidx = (gen - 1) >> 1
+            kv = jnp.take(akv, kidx, axis=0)
+            kvs = jnp.take(akvs, kidx, axis=0)
+            aa = perm[..., :k, :]
+            bb = perm[..., k, :]
+            digits = _ks._decompose_digits(aa, base_bit, t)
+            if tp_jk:
+                digits = jax.lax.dynamic_slice_in_dim(
+                    digits, idx * jkm, jkm, -2)
+            spec = _ntt.to_ntt_small(digits, ks_plan)
+            acc = _ntt.pointwise_mul_acc_key(
+                spec[..., :, None, :, :], kv, kvs, ks_plan, axis=-4)
+            if tp_jk:
+                acc = jax.lax.psum(acc, model_axis)
+                acc = _ntt.barrett_small(acc, ks_plan.p[:, None],
+                                         ks_plan.mu[:, None])
+            as_ = _ntt.from_ntt_u64(acc, ks_plan)
+            out = jnp.zeros_like(perm).at[..., k, :].set(bb)
+            return out - as_
+
+        b_int = torus2int(b + _prec_offset(torus_base),
+                          log_N2).astype(jnp.int32)
+        acc0 = _poly.mul_by_xai(tv_st, (2 * N - b_int)[..., None])
+        a_int = (torus2int(jnp.asarray(a, TORUS_DTYPE), log_N2)
+                 .astype(jnp.int32) | 1)
+        w = jnp.take(inv2n, (a_int - 1) >> 1, axis=0)
+        acc = eval_auto(acc0, w[..., 0])
+        gens = (a_int[..., :-1] * w[..., 1:]) & mod_mask
+        gens_scan = jnp.moveaxis(gens, -1, 0)
+
+        def step(acc_st, xs):
+            gv, gvs, gen = xs
+            return eval_auto(ext_prod(acc_st, gv, gvs), gen), None
+
+        acc, _ = jax.lax.scan(step, acc, (sv[:-1], svs[:-1], gens_scan))
+        tl = ext_prod(acc, sv[-1], svs[-1])
+        return eval_auto(tl, a_int[..., -1])
+
+    sharded = shard_map(inner, mesh=mesh, in_specs=in_specs,
+                        out_specs=P(data_axis), check_vma=False)
+
+    @jax.jit
+    def _run(tv_st, cb, ca, sv, svs, akv, akvs, inv2n):
+        acc_st = sharded(tv_st, cb, ca, sv, svs, akv, akvs, inv2n)
+        return _trlwe.extract_tlwe(from_stacked(acc_st), 0)
+
+    def run(tv: TRLWE, c: TLWE) -> TLWE:
+        return _run(tv.stacked(), c.b, c.a, bkg.s_v, bkg.s_vs,
+                    bkg.ak_v, bkg.ak_vs, bkg.inv2n)
+
+    return run

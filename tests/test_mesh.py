@@ -230,3 +230,57 @@ def test_dist_pbs_decrypts():
         out = dist_ntt.functional_bootstrap_n_sharded(
             mesh, tv1, cs, bk, kd, run, 4)
     _phase_check(out, key_out, luts, slots)
+
+
+def test_unfolded_on_mesh_bit_exact():
+    """Unfolded-BR bootstrap on the mesh (batch x 2^u-expansion TP):
+    bit-identical to the single-device jnp unfolded bootstrap, and the
+    model-sharded psum-of-u64-combines equals the replicated sum."""
+    batch = 16
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(5, batch)
+    k0, _ = jax.random.split(jax.random.fold_in(KEY, 50))
+    key_tlwe = tlwe.new_binary_key(
+        jax.random.split(jax.random.fold_in(KEY, 5), 5)[0],
+        P.n, P.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(
+        jax.random.split(jax.random.fold_in(KEY, 5), 5)[1],
+        P.N, P.k, P.rlwe_sigma)
+    gk = trgsw.new_key(key_trlwe, P.l, P.Bg_bit)
+    bk2 = bootstrap.new_key(k0, gk, key_tlwe, 2)
+    want = bootstrap.functional_bootstrap(tv1, cs, bk2, 4)
+    for model in (1, 2, 4):
+        mesh = pmesh.make_mesh(jax.devices(), data=8 // model, model=model)
+        run = pmesh.unfolded_pbs_on_mesh(
+            mesh, bk2, torus_base=4,
+            model_axis="model" if model > 1 else None)
+        got = run(tv, cs)
+        np.testing.assert_array_equal(np.asarray(got.a),
+                                      np.asarray(want.a))
+        np.testing.assert_array_equal(np.asarray(got.b),
+                                      np.asarray(want.b))
+    _phase_check(got, key_out, luts, slots)
+
+
+def test_ga_on_mesh_bit_exact():
+    """GA bootstrap on the mesh (batch x row-TP for both the external
+    product and the automorphism keyswitch): bit-identical to the
+    single-device jnp GA bootstrap."""
+    from mosfhet_tpu import bootstrap_ga
+    batch = 16
+    tv, tv1, cs, bk, key_out, luts, slots = _setup(6, batch)
+    ks5 = jax.random.split(jax.random.fold_in(KEY, 6), 5)
+    key_tlwe = tlwe.new_binary_key(ks5[0], P.n, P.lwe_sigma)
+    key_trlwe = trlwe.new_binary_key(ks5[1], P.N, P.k, P.rlwe_sigma)
+    gk = trgsw.new_key(key_trlwe, P.l, P.Bg_bit)
+    bkg = bootstrap_ga.new_key(jax.random.fold_in(KEY, 60), gk, key_tlwe)
+    want = bootstrap_ga.functional_bootstrap_ga(tv1, cs, bkg, 4)
+    for model in (1, 2):
+        mesh = pmesh.make_mesh(jax.devices(), data=8 // model, model=model)
+        run = pmesh.ga_pbs_on_mesh(
+            mesh, bkg, torus_base=4,
+            model_axis="model" if model > 1 else None)
+        got = run(tv, cs)
+        np.testing.assert_array_equal(np.asarray(got.a),
+                                      np.asarray(want.a))
+        np.testing.assert_array_equal(np.asarray(got.b),
+                                      np.asarray(want.b))
