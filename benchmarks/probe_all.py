@@ -105,6 +105,15 @@ def production_probes():
               lambda acc, a, kv, kp=kp:
               pk.blind_rotate_scan(acc, a, kv, kv, kp), acc, a, kv)
 
+    for mode in ("mxu",):
+        kp = _plan(mode)
+        acc = _rand((B, C, N))
+        a = _rand((2, B), np.int32, hi=2 * N)
+        kv = _key(kp, 2, J)
+        probe(f"blind_rotate_scan_fused_{mode}",
+              lambda acc, a, kv, kp=kp:
+              pk.blind_rotate_scan_fused(acc, a, kv, kv, kp), acc, a, kv)
+
     for mode in ("default", "mxu"):
         kp = _plan(mode)
         rot = _rand((B, C, N))

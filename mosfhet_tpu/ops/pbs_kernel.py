@@ -1183,8 +1183,46 @@ def _apply_rot_twiddle(kp: PBSKernelPlan, spec_ref, a_col, rot_tw_ref,
                                              kp.mup[p_i])
 
 
+def _step_body(kp: PBSKernelPlan, acc_ref, a_col, keyv_ref, keyvs_ref,
+               ftw_ref, ftws_ref, itw_ref, itws_ref, mxu_refs, rot_refs,
+               out_ref, dig_ref, spec_ref, liota):
+    """One CMUX step: read acc limbs (into registers), rotate + decompose,
+    forward NTTs + mul-acc vs the step's key rows, inverse NTTs, garner,
+    carry-add, write the new acc limbs to `out_ref`.  Shared verbatim by
+    the per-step kernel and the whole-scan fused kernel (`acc_ref` may BE
+    `out_ref` there — safe because the acc values are register-resident
+    before the first write)."""
+    C, P = kp.C, kp.P
+    acc = _decompose_acc(kp, acc_ref, dig_ref, a_col, liota,
+                         rotate=not kp.rot_ntt)
+
+    for c in range(C):
+        for p in range(P):
+            spec_ref[c, p] = jnp.zeros((kp.bt, kp.N), _U32)
+
+    _ntt_mul_acc(kp, dig_ref, keyv_ref, keyvs_ref, spec_ref,
+                 ftw_ref, ftws_ref, liota, mxu_refs)
+
+    if kp.rot_ntt:
+        _apply_rot_twiddle(kp, spec_ref, a_col, rot_refs[0], rot_refs[1])
+
+    ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                       mxu_refs)
+    for c in range(C):
+        ts = ts_all[c]
+        if kp.nl == 1:
+            dlo = _garner_limb32(ts, kp)
+            out_ref[0, 0, c] = acc[c][0] + dlo      # mod 2^32
+            continue
+        dlo, dhi = _garner_limbs(ts, kp)
+        alo, ahi = acc[c]
+        olo = alo + dlo
+        carry = (olo < alo).astype(_U32)
+        out_ref[0, 0, c] = olo
+        out_ref[0, 1, c] = ahi + dhi + carry
+
+
 def _make_step_kernel(kp: PBSKernelPlan):
-    N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
     bt = kp.bt
 
     def kernel(acc_ref, a_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
@@ -1198,40 +1236,16 @@ def _make_step_kernel(kp: PBSKernelPlan):
         else:
             mxu_refs = None
         if kp.rot_ntt:
-            rot_tw_ref, rot_tws_ref = rest[:2]
+            rot_refs = tuple(rest[:2])
             rest = rest[2:]
+        else:
+            rot_refs = None
         out_ref, dig_ref, spec_ref = rest
-        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+        liota = jax.lax.broadcasted_iota(_U32, (bt, kp.N), 1)
         a_col = a_ref[0]                                   # [BT, 1] i32
-
-        acc = _decompose_acc(kp, acc_ref, dig_ref, a_col, liota,
-                             rotate=not kp.rot_ntt)
-
-        for c in range(C):
-            for p in range(P):
-                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
-
-        _ntt_mul_acc(kp, dig_ref, keyv_ref, keyvs_ref, spec_ref,
-                     ftw_ref, ftws_ref, liota, mxu_refs)
-
-        if kp.rot_ntt:
-            _apply_rot_twiddle(kp, spec_ref, a_col, rot_tw_ref,
-                               rot_tws_ref)
-
-        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
-                           mxu_refs)
-        for c in range(C):
-            ts = ts_all[c]
-            if kp.nl == 1:
-                dlo = _garner_limb32(ts, kp)
-                out_ref[0, 0, c] = acc[c][0] + dlo      # mod 2^32
-                continue
-            dlo, dhi = _garner_limbs(ts, kp)
-            alo, ahi = acc[c]
-            olo = alo + dlo
-            carry = (olo < alo).astype(_U32)
-            out_ref[0, 0, c] = olo
-            out_ref[0, 1, c] = ahi + dhi + carry
+        _step_body(kp, acc_ref, a_col, keyv_ref, keyvs_ref, ftw_ref,
+                   ftws_ref, itw_ref, itws_ref, mxu_refs, rot_refs,
+                   out_ref, dig_ref, spec_ref, liota)
 
     return kernel
 
@@ -1327,6 +1341,9 @@ def blind_rotate_scan(acc0, a_int, keyv32, keyvs32, kp: PBSKernelPlan,
     keyv32/keyvs32: [n, J, C, P, N] u32 bootstrap key (+ Shoup)
     Scan state stays in u32 limb tiles — no u64 ops inside the loop.
     """
+    if _os.environ.get("MOSFHET_FUSED_SCAN", "0") == "1":
+        return blind_rotate_scan_fused(acc0, a_int, keyv32, keyvs32, kp,
+                                       interpret=interpret)
     B = acc0.shape[0]
     nb = B // kp.bt
     tiles = split_limbs(acc0, kp)
@@ -1338,6 +1355,113 @@ def blind_rotate_scan(acc0, a_int, keyv32, keyvs32, kp: PBSKernelPlan,
                                interpret=interpret), None
 
     out, _ = jax.lax.scan(step, tiles, (keyv32, keyvs32, a_tiles))
+    return merge_limbs(out)
+
+
+def _make_scan_kernel(kp: PBSKernelPlan):
+    """Whole-scan kernel body: grid (nb, n), step axis innermost.  The
+    accumulator lives in the OUTPUT block, whose index depends only on the
+    batch tile — Mosaic's pipeline keeps a revisited block in VMEM and
+    writes it back to HBM once, when the batch index changes.  Step i==0
+    seeds it from the acc0 input block.  The per-step bootstrap-key block
+    is indexed by the step axis, so the pipeline prefetches step i+1's key
+    rows during step i's compute — the double-buffered key streaming that
+    the lax.scan form (one pallas_call per step) cannot express."""
+    bt = kp.bt
+
+    def kernel(acc_ref, a_ref, keyv_ref, keyvs_ref, ftw_ref, ftws_ref,
+               itw_ref, itws_ref, *rest):
+        rest = list(rest)
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            rest = rest[6:]
+        else:
+            mxu_refs = None
+        if kp.rot_ntt:
+            rot_refs = tuple(rest[:2])
+            rest = rest[2:]
+        else:
+            rot_refs = None
+        out_ref, dig_ref, spec_ref = rest
+        liota = jax.lax.broadcasted_iota(_U32, (bt, kp.N), 1)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _seed():
+            out_ref[...] = acc_ref[...]
+
+        a_col = a_ref[0]                                   # [BT, 1] i32
+        _step_body(kp, out_ref, a_col, keyv_ref, keyvs_ref, ftw_ref,
+                   ftws_ref, itw_ref, itws_ref, mxu_refs, rot_refs,
+                   out_ref, dig_ref, spec_ref, liota)
+
+    return kernel
+
+
+def blind_rotate_scan_fused(acc0, a_int, keyv32, keyvs32,
+                            kp: PBSKernelPlan, interpret: bool = False):
+    """`blind_rotate_scan` as ONE pallas_call (bit-identical step body,
+    `_step_body`): no per-step dispatch, no per-step HBM round trip of the
+    accumulator, and hardware-pipelined (double-buffered) key streaming.
+    Enabled by MOSFHET_FUSED_SCAN=1."""
+    B = acc0.shape[0]
+    nb = B // kp.bt
+    n = a_int.shape[0]
+    N, P, C, J, bt, nl = kp.N, kp.P, kp.C, kp.J, kp.bt, kp.nl
+    S = N.bit_length() - 1
+    tiles = split_limbs(acc0, kp)
+    a_tiles = a_int.reshape(n, nb, kp.bt, 1)
+    kernel = _make_scan_kernel(kp)
+
+    z = lambda b, i: (b, i * 0, i * 0, i * 0, i * 0)        # acc/out maps
+    const3 = lambda b, i: (b * 0, i * 0, i * 0)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N), z, memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, 1, bt, 1), lambda b, i: (i, b, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, J, C, P, N),
+                     lambda b, i: (i, b * 0, b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, J, C, P, N),
+                     lambda b, i: (i, b * 0, b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), const3, memory_space=pltpu.VMEM),
+    ]
+    args = [tiles, a_tiles, keyv32, keyvs32, kp.ftw, kp.ftws, kp.itw,
+            kp.itws]
+    if kp.use_mxu:
+        row = pl.BlockSpec((P, N), lambda b, i: (b * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+        mat = pl.BlockSpec((P, 512, 512),
+                           lambda b, i: (b * 0, i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+        in_specs += [row, row, mat, row, row, mat]
+        args += _mxu_args(kp)
+    if kp.rot_ntt:
+        tbl = pl.BlockSpec((P, N.bit_length(), N), const3,
+                           memory_space=pltpu.VMEM)
+        in_specs += [tbl, tbl]
+        args += [kp.rot_tw, kp.rot_tws]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid=(nb, n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nl, C, bt, N), z,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((J, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
     return merge_limbs(out)
 
 

@@ -172,3 +172,35 @@ def test_cmux_delta_narrow_primes_lazy3():
     got = pk.cmux_delta(rot, keyv.astype(jnp.uint32),
                         keyvs.astype(jnp.uint32), kp, interpret=True)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_blind_rotate_scan_fused_bit_exact():
+    """The whole-scan single-pallas_call form (`blind_rotate_scan_fused`:
+    grid (nb, n), VMEM-resident accumulator via block revisiting, key
+    blocks pipelined over the step axis) is bit-identical to the
+    per-step lax.scan form, on a multi-tile batch, both NTT plans."""
+    N, k, l, Bg_bit, n = 256, 1, 2, 9, 5
+    C = k + 1
+    J = C * l
+    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), J)
+    primes = _ntt.primes_for_bound(bound)
+    plan = _ntt.get_plan(N, primes)
+    P = plan.P
+    rng = np.random.default_rng(78)
+    B = 64                                     # two bt=32 tiles
+    acc0 = jnp.asarray(
+        rng.integers(0, 1 << 64, size=(B, C, N), dtype=np.uint64))
+    a_int = jnp.asarray(
+        rng.integers(0, 2 * N + 1, size=(n, B), dtype=np.int32))
+    keyv = jnp.asarray(
+        rng.integers(0, 1 << 62, size=(n, J, C, P, N), dtype=np.uint64)
+        % np.array(primes, dtype=np.uint64)[None, None, None, :, None])
+    keyvs = _ntt.make_shoup(keyv, plan.p[:, None])
+    v32, vs32 = keyv.astype(jnp.uint32), keyvs.astype(jnp.uint32)
+    for mxu in (False, True):
+        kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32, mxu=mxu)
+        want = pk.blind_rotate_scan(acc0, a_int, v32, vs32, kp,
+                                    interpret=True)
+        got = pk.blind_rotate_scan_fused(acc0, a_int, v32, vs32, kp,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))

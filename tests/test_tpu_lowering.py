@@ -159,3 +159,13 @@ def test_lower_tlwe_keyswitch_sum():
     planes = tuple(_rand((n_in, t, base_m1, npad), np.uint64)
                    .astype(jnp.uint32) for _ in range(nl))
     _lower_tpu(lambda d, *p: pk.tlwe_keyswitch_sum(d, p), dig, *planes)
+
+
+@pytest.mark.parametrize("mode", ["default", "mxu", "rotntt_mxu"])
+def test_lower_blind_rotate_scan_fused(mode):
+    kp = _plan(mode)
+    acc = _rand((B, C, N))
+    a = _rand((2, B), np.int32, hi=2 * N)
+    kv = _key(kp, 2, J)
+    _lower_tpu(lambda acc, a, kv:
+               pk.blind_rotate_scan_fused(acc, a, kv, kv, kp), acc, a, kv)
