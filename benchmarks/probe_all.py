@@ -141,6 +141,12 @@ def production_probes():
             return pk.ubr_phase1_combine(su_t, rot_t, kp)
         probe(f"ubr_phase1_combine_{mode}", p1, su, rotg)
 
+        su5 = _rand((2, G, M, J * C, N), np.uint64).astype(jnp.uint32)
+        rot5 = _rand((1, G, M), np.int32, hi=2 * N)
+        probe(f"ubr_phase1_v2_{mode}",
+              lambda su, rot, kp=kp: pk.ubr_phase1_combine_v2(su, rot, kp),
+              su5, rot5)
+
         Jk = (C - 1) * l
         perm = _rand((B, C, N))
         rows = _rand((B, Jk, C, kp.P, N), np.uint64,

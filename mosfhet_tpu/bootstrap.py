@@ -522,11 +522,20 @@ def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey,
         G = bk.n // u
         su_planes = bk.su.reshape(
             bk.su.shape[0], G, 1 << u, (bk.k + 1) * bk.l * (bk.k + 1), bk.N)
-        su_t = _pk.tile_su_planes(su_planes, kp)
-        rot_t = _pk.tile_rot(rot, kp, G)
-        sa_t = _pk.ubr_phase1_combine(
-            su_t, rot_t, kp, interpret=(impl == "pallas_interpret"))
-        v = _pk.merge_phase1_out(sa_t, G)                # [B, G, J, C, P, N]
+        import os as _os
+        if _os.environ.get("MOSFHET_UBR_V2", "0") == "1":
+            # streaming combine: scalar dynamic roll per mask combination
+            # (groups on the grid) — measured alternative to the
+            # group-on-sublanes per-row rotation network
+            v = _pk.ubr_phase1_combine_v2(
+                su_planes, rot, kp,
+                interpret=(impl == "pallas_interpret"))
+        else:
+            su_t = _pk.tile_su_planes(su_planes, kp)
+            rot_t = _pk.tile_rot(rot, kp, G)
+            sa_t = _pk.ubr_phase1_combine(
+                su_t, rot_t, kp, interpret=(impl == "pallas_interpret"))
+            v = _pk.merge_phase1_out(sa_t, G)        # [B, G, J, C, P, N]
         v = v.reshape(batch + v.shape[1:])
         return TRGSWDFT(v=v, vs=None, l=bk.l, Bg_bit=bk.Bg_bit,
                         primes=bk.primes)

@@ -420,13 +420,18 @@ def _seeded_zero_table(rkey, out_key: TRLWEKey, total: int, add_fn=None):
     chunk is chosen as a divisor of `total` when possible so the final
     table needs no trimming copy."""
     from . import seeded as _seeded
+    import os
     N = out_key.N
-    chunk = min(2048, total)
+    # MOSFHET_KEYGEN_CHUNK caps the per-chunk keygen transient (mask NTT
+    # buffers scale with it) — the SET_3 priv-SK table keygen OOMs next to
+    # a resident packing1 table at the default 2048 (probe_cb_mem.py)
+    chunk = min(int(os.environ.get("MOSFHET_KEYGEN_CHUNK", "2048")), total)
+    cap = chunk
     for c in range(chunk, 0, -1):
         if total % c == 0:
             chunk = c
             break
-        if chunk - c > 1792:      # no usable divisor: pad + trim instead
+        if cap - c > 1792:        # no usable divisor: pad + trim instead
             break
     n_chunks = -(-total // chunk)
     keys = jax.random.split(rkey, n_chunks)

@@ -2472,6 +2472,160 @@ def ubr_phase1_combine(su_tiles, rot_tiles, kp: PBSKernelPlan,
     )(*args)
 
 
+def _make_phase1_v2_kernel(kp: PBSKernelPlan, Mc: int, mc: int):
+    N, P, C, J = kp.N, kp.P, kp.C, kp.J
+    nl = kp.nl
+    JC = J * C
+
+    def kernel(*refs):
+        # su plane blocks [1, mc, JC, N] u32 (lo[, hi]); rot [1, 1, mc]
+        # i32 SMEM; out [1, 1, J, C, P, 1, N] (revisited across mi);
+        # comb scratch [JC, nl, N].
+        su_lo_ref = refs[0]
+        i = 1
+        su_hi_ref = None
+        if nl == 2:
+            su_hi_ref = refs[i]
+            i += 1
+        rot_ref, ftw_ref, ftws_ref = refs[i:i + 3]
+        i += 3
+        mxu_refs = None
+        if kp.use_mxu:
+            mxu_refs = tuple(refs[i:i + 6])
+            i += 6
+        out_ref, comb_ref = refs[i:i + 2]
+        mi = pl.program_id(2)
+        liota = jax.lax.broadcasted_iota(_U32, (JC, N), 1)
+
+        @pl.when(mi == 0)
+        def _init():
+            for li in range(nl):
+                comb_ref[:, li] = jnp.zeros((JC, N), _U32)
+
+        for t in range(mc):
+            # all JC rows of this mask combination rotate by the SAME
+            # exponent -> ONE dynamic roll (+ sign fix) instead of the
+            # log2(2N)-stage per-row network of `ubr_phase1_combine`
+            rot = rot_ref[0, 0, 0, 0, t]           # scalar i32 in [0, 2N]
+            r = rot & jnp.int32(N - 1)
+            flip = (rot & jnp.int32(N)) != jnp.int32(0)
+            wrap = liota < r.astype(_U32)
+            mask = jnp.logical_xor(wrap, flip)
+            lo = su_lo_ref[0, t]                   # [JC, N]
+            rlo = pltpu.roll(lo, r, 1)
+            if nl == 1:
+                rl = jnp.where(mask, _U32(0) - rlo, rlo)
+                comb_ref[:, 0] = comb_ref[:, 0] + rl
+                continue
+            rhi = pltpu.roll(su_hi_ref[0, t], r, 1)
+            nlo, nhi = _neg_u64(rlo, rhi)
+            rl = jnp.where(mask, nlo, rlo)
+            rh = jnp.where(mask, nhi, rhi)
+            clo = comb_ref[:, 0]
+            slo = clo + rl
+            carry = (slo < clo).astype(_U32)
+            comb_ref[:, 0] = slo
+            comb_ref[:, 1] = comb_ref[:, 1] + rh + carry
+
+        @pl.when(mi == Mc - 1)
+        def _finalize():
+            if mxu_refs is not None:
+                tw_ref, tws_ref, w_ref = mxu_refs[:3]
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    resi = _limbs_to_resi(
+                        comb_ref[:, 0],
+                        comb_ref[:, 1] if nl == 2 else None, kp, p_i)
+                    yall = _fwd_ntt_mxu(
+                        resi, ftw_ref[p_i], ftws_ref[p_i],
+                        tw_ref[p_i:p_i + 1], tws_ref[p_i:p_i + 1],
+                        w_ref[p_i], p, kp.s256[p_i], kp.red1[p_i], N)
+                    for r_ in range(J):
+                        for c in range(C):
+                            jc = r_ * C + c
+                            out_ref[0, 0, r_, c, p_i] = _exact(
+                                yall[jc:jc + 1], p)
+            else:
+                lo = comb_ref[:, 0]
+                hi = comb_ref[:, 1] if nl == 2 else None
+                for p_i in range(P):
+                    p = kp.primes[p_i]
+                    resi = _limbs_to_resi(lo, hi, kp, p_i)
+                    y = _exact(_fwd_ntt(resi, ftw_ref[p_i], ftws_ref[p_i],
+                                        liota, p, N), p)
+                    for r_ in range(J):
+                        for c in range(C):
+                            jc = r_ * C + c
+                            out_ref[0, 0, r_, c, p_i] = y[jc:jc + 1]
+
+    return kernel
+
+
+def ubr_phase1_combine_v2(su_planes, rot, kp: PBSKernelPlan,
+                          interpret: bool = False):
+    """Streaming UBR phase-1 combine (same math as `ubr_phase1_combine`,
+    measured-different layout): grid (B, G, M/mc) with the J*C rows of
+    one mask combination on the sublane axis, so the rotation is one
+    dynamic-scalar `pltpu.roll` + sign fix per limb instead of the
+    12-stage per-row network — the network was ~80% of phase-1 time at
+    u=8 (`bootstrap.c:151-175` reference; see ROADMAP round-5 notes).
+
+    su_planes: [nl, G, M, JC, N] u32 limb planes (the bootstrap key's
+    native storage — no group-tiling copy); rot: [B, G, M] i32.
+    -> [B, G, J, C, P, N] u32 exact NTT-domain residues."""
+    nl, G, M, JC, N = su_planes.shape
+    B = rot.shape[0]
+    P, C, J = kp.P, kp.C, kp.J
+    assert JC == J * C and N == kp.N
+    S = N.bit_length() - 1
+    mc = min(8, M)
+    assert M % mc == 0
+    Mc = M // mc
+    kernel = _make_phase1_v2_kernel(kp, Mc, mc)
+    su_spec = pl.BlockSpec(
+        (1, mc, JC, N), lambda b, g, mi: (g, mi, b * 0, b * 0),
+        memory_space=pltpu.VMEM)
+    # SMEM blocks must have last-two dims equal to (or 8/128-divisible
+    # into) the array's — shape the rotations [B, G, Mc, 1, mc] so the
+    # (1, mc) window IS the trailing extent
+    in_specs = [su_spec] * nl + [
+        pl.BlockSpec((1, 1, 1, 1, mc),
+                     lambda b, g, mi: (b, g, mi, b * 0, b * 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((P, S, N), lambda b, g, mi: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), lambda b, g, mi: (b * 0, b * 0, b * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [su_planes[0]]
+    if nl == 2:
+        args.append(su_planes[1])
+    args += [rot.astype(jnp.int32).reshape(B, G, Mc, 1, mc),
+             kp.ftw, kp.ftws]
+    if kp.use_mxu:
+        in_specs += _mxu_specs3(kp)
+        args += _mxu_args(kp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, G, J, C, P, 1, N), _U32),
+        grid=(B, G, Mc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, J, C, P, 1, N),
+            lambda b, g, mi: (b, g, mi * 0, mi * 0, mi * 0, mi * 0,
+                              mi * 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((JC, nl, N), _U32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return out[..., 0, :]                        # [B, G, J, C, P, N]
+
+
 def tile_su_planes(su_planes, kp: PBSKernelPlan):
     """Limb planes [nl, G, M, JC, N] u32 -> tuple of nl group-tiled arrays
     [nG, M, JC, GT, N] (G padded to the tile with zeros — padded groups are

@@ -169,3 +169,13 @@ def test_lower_blind_rotate_scan_fused(mode):
     kv = _key(kp, 2, J)
     _lower_tpu(lambda acc, a, kv:
                pk.blind_rotate_scan_fused(acc, a, kv, kv, kp), acc, a, kv)
+
+
+@pytest.mark.parametrize("mode", ["default", "mxu"])
+def test_lower_ubr_phase1_v2(mode):
+    kp = _plan(mode)
+    G, M = 2, 8
+    su = _rand((2, G, M, J * C, N), np.uint64).astype(jnp.uint32)
+    rot = _rand((1, G, M), np.int32, hi=2 * N)
+    _lower_tpu(lambda su, rot:
+               pk.ubr_phase1_combine_v2(su, rot, kp), su, rot)

@@ -215,3 +215,59 @@ def test_external_product_kernel_paths():
     got2 = trgsw.external_product(c, gb, impl="pallas_interpret")
     np.testing.assert_array_equal(np.asarray(want2.a), np.asarray(got2.a))
     np.testing.assert_array_equal(np.asarray(want2.b), np.asarray(got2.b))
+
+
+def test_ubr_phase1_v2_bit_exact():
+    """The streaming phase-1 combine (`ubr_phase1_combine_v2`: groups on
+    the grid, ONE dynamic-scalar roll per mask combination) equals the
+    group-tiled v1 kernel bit-for-bit, both NTT plans, including rot=2N
+    endpoints."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mosfhet_tpu import ntt as _ntt
+    from mosfhet_tpu.ops import pbs_kernel as pk
+    N, k, l, Bg_bit = 256, 1, 2, 9
+    C = k + 1
+    J = C * l
+    JC = J * C
+    bound = _ntt.conv_bound(N, 1 << (Bg_bit - 1), J)
+    primes = _ntt.primes_for_bound(bound)
+    rng = np.random.default_rng(11)
+    G, M, B = 4, 8, 2
+    su64 = jnp.asarray(rng.integers(0, 1 << 64, (G, M, JC, N), np.uint64))
+    su_planes = jnp.stack(
+        [(su64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+         (su64 >> jnp.uint64(32)).astype(jnp.uint32)])
+    rot = jnp.asarray(rng.integers(0, 2 * N + 1, (B, G, M), np.int32))
+    for mxu in (False, True):
+        kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32, mxu=mxu)
+        su_t = pk.tile_su_planes(su_planes, kp)
+        rot_t = pk.tile_rot(rot, kp, G)
+        want = pk.merge_phase1_out(
+            pk.ubr_phase1_combine(su_t, rot_t, kp, interpret=True), G)
+        got = pk.ubr_phase1_combine_v2(su_planes, rot, kp, interpret=True)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_ubr_phase1_v2_e2e(monkeypatch):
+    """MOSFHET_UBR_V2=1 through `multivalue_bootstrap_UBR_phase1`:
+    bit-identical to the default kernel path."""
+    import numpy as np
+    import jax
+    from mosfhet_tpu import params, tlwe, trlwe, trgsw, bootstrap, torus
+    import jax.numpy as jnp
+    p = params.TOY
+    kk = jax.random.split(jax.random.PRNGKey(909), 5)
+    kt = tlwe.new_binary_key(kk[0], p.n, p.lwe_sigma)
+    kr = trlwe.new_binary_key(kk[1], p.N, p.k, p.rlwe_sigma)
+    gk = trgsw.new_key(kr, p.l, p.Bg_bit)
+    bk = bootstrap.new_key(kk[2], gk, kt, 2)
+    ms = torus.double2torus(jnp.arange(2) / 8.0)
+    cs = tlwe.encrypt(ms, kt, kk[3])
+    monkeypatch.setenv("MOSFHET_UBR_V2", "0")
+    want = bootstrap.multivalue_bootstrap_UBR_phase1(
+        cs, bk, impl="pallas_interpret")
+    monkeypatch.setenv("MOSFHET_UBR_V2", "1")
+    got = bootstrap.multivalue_bootstrap_UBR_phase1(
+        cs, bk, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.v), np.asarray(got.v))
