@@ -19,6 +19,18 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
+# Setup latency is ~100% XLA compile time (round-5 split: keygen compile
+# 261 s vs run 0.3 s) — persist compiled executables across runs.
+# Harmless no-op if the backend cannot serialize executables.
+if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         "/root/.cache/jax_mosfhet"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
 
 def _subbench_env():
     """Build the TORUS32 sub-bench environment.  ALWAYS prepend the repo

@@ -295,6 +295,44 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
         import os
         stream = os.environ.get("MOSFHET_GA_STREAM", "1") == "1"
         fused = stream and os.environ.get("MOSFHET_GA_FUSED", "1") == "1"
+        onekernel = os.environ.get("MOSFHET_GA_ONEKERNEL", "0") == "1"
+
+        if onekernel:
+            # whole scan as ONE pallas_call: per step, external product +
+            # in-kernel permute + DMA-streamed automorphism keyswitch
+            # fused, accumulator VMEM-resident (`ops/pbs_kernel.
+            # ga_scan_fused`).  The initial psi_{w_0} keyswitch stays on
+            # the standalone stream kernel.  Padded batch rows carry
+            # generator 1 (identity, keyset entry 0) so the in-kernel DMA
+            # indices stay in bounds.
+            def pad1(x):       # pad last axis with ones (valid odd gen)
+                if pad:
+                    return jnp.concatenate(
+                        [x, jnp.ones(x.shape[:-1] + (pad,), x.dtype)],
+                        axis=-1)
+                return x
+
+            kidx0 = jnp.broadcast_to((w[..., 0] - 1) >> 1,
+                                     batch).reshape(B)
+            ginv0 = jnp.take(bk.inv2n, kidx0, axis=0)
+            x0 = jnp.broadcast_to(tv.stacked(), batch + (k + 1, N)
+                                  ).reshape(B, k + 1, N)
+            pad0 = lambda v: (jnp.concatenate(
+                [v, jnp.zeros((pad,), v.dtype)]) if pad else v)
+            acc0 = _pk.auto_keyswitch_stream(
+                _pad_rows(x0), ak32f, pad0(kidx0), kp_ks,
+                interpret=interp, ginv=pad1(ginv0[None])[0])
+            gens = (a_int[..., :-1] * w[..., 1:]) & mod_mask
+            gens_full = jnp.concatenate(
+                [gens, a_int[..., -1:]], axis=-1)      # [..., n]
+            gens_scan = jnp.moveaxis(
+                jnp.broadcast_to(gens_full, batch + (gens_full.shape[-1],)
+                                 ).reshape(B, -1), -1, 0)  # [n, B]
+            out = _pk.ga_scan_fused(
+                acc0, pad1(gens_scan), sv32, svs32, ak32f, bk.inv2n,
+                kp, kp_ks, interpret=interp)
+            out = (out[:B] if pad else out).reshape(batch + (k + 1, N))
+            return from_stacked(out)
 
         def auto_ks(acc_st, gen):
             """Galois permute + fused keyswitch kernel.  Default: the

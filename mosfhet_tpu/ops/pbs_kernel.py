@@ -2328,6 +2328,202 @@ def auto_keyswitch_stream(perm, ak32, kidx, kp: PBSKernelPlan,
     return merge_limbs(out)
 
 
+def _make_ga_scan_kernel(kp: PBSKernelPlan, kp_ks: PBSKernelPlan):
+    """Whole-scan GA blind rotate: ONE kernel per (batch-tile, step) doing
+    external product (kp) + in-kernel Galois permute + DMA-streamed
+    automorphism keyswitch (kp_ks) — the two per-step pallas_calls of
+    `blind_rotate_ga` (cmux_delta, auto_keyswitch_stream) fused, with the
+    accumulator VMEM-resident across the whole scan (revisited output
+    block) and the step's TRGSW key rows pipelined by the grid
+    (`bootstrap_ga.c:39-60`)."""
+    N, P, C, J, l, Bg_bit = kp.N, kp.P, kp.C, kp.J, kp.l, kp.Bg_bit
+    bt = kp.bt
+    t_ks = kp_ks.l
+    k_in = C - 1
+    Jk = k_in * t_ks
+    Pks = kp_ks.P
+
+    def kernel(acc_ref, kidx_ref, ginv_ref, sv_ref, svs_ref, ak_ref,
+               ftw_ref, ftws_ref, itw_ref, itws_ref,
+               kftw_ref, kftws_ref, kitw_ref, kitws_ref, *rest):
+        rest = list(rest)
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            rest = rest[6:]
+        else:
+            mxu_refs = None
+        if kp_ks.use_mxu:
+            mxu_ks_refs = tuple(rest[:6])
+            rest = rest[6:]
+        else:
+            mxu_ks_refs = None
+        out_ref, dig_ref, spec_ref, key_scr, sems = rest
+        i = pl.program_id(1)
+        liota = jax.lax.broadcasted_iota(_U32, (bt, N), 1)
+
+        @pl.when(i == 0)
+        def _seed():
+            out_ref[...] = acc_ref[...]
+
+        # start the automorphism-key row DMAs for THIS step's generators
+        # immediately: they overlap the entire external product below
+        copies = []
+        for r in range(bt):
+            idx = kidx_ref[0, 0, 0, r]
+            cp = pltpu.make_async_copy(
+                ak_ref.at[idx], key_scr.at[:, jnp.int32(r)],
+                sems.at[jnp.int32(r)])
+            cp.start()
+            copies.append(cp)
+
+        # ---- external product t = BK_i (x) acc (plan kp) ---------------
+        for c in range(C):
+            lo = out_ref[0, 0, c] + _U32(kp.off_lo)
+            carry = (lo < _U32(kp.off_lo)).astype(_U32)
+            hi = out_ref[0, 1, c] + _U32(kp.off_hi) + carry
+            for di in range(l):
+                dig_ref[c * l + di] = _decompose_digit(lo, hi, di, Bg_bit)
+        for c in range(C):
+            for p in range(P):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+        _ntt_mul_acc(kp, dig_ref, sv_ref, svs_ref, spec_ref,
+                     ftw_ref, ftws_ref, liota, mxu_refs)
+        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                           mxu_refs)
+        t_limbs = [
+            _garner_limbs(ts_all[c], kp) for c in range(C)]
+
+        # ---- Galois permute psi_gen(t) (in-kernel factorized gather) ---
+        ginv_col = ginv_ref[0, 0]                       # [BT, 1] i32
+        perm = [_galois_permute_limbs(t_limbs[c][0], t_limbs[c][1],
+                                      ginv_col, N) for c in range(C)]
+
+        # ---- automorphism keyswitch (plan kp_ks, streamed key rows) ----
+        for c in range(k_in):
+            plo, phi = perm[c]
+            lo = plo + _U32(kp_ks.off_lo)
+            carry = (lo < _U32(kp_ks.off_lo)).astype(_U32)
+            hi = phi + _U32(kp_ks.off_hi) + carry
+            for di in range(t_ks):
+                dig_ref[c * t_ks + di] = _decompose_digit(
+                    lo, hi, di, kp_ks.Bg_bit)
+        for c in range(C):
+            for p in range(Pks):
+                spec_ref[c, p] = jnp.zeros((bt, N), _U32)
+        for cp in copies:
+            cp.wait()
+        _ntt_mul_acc_keyfn(kp_ks, dig_ref, spec_ref, kftw_ref, kftws_ref,
+                           liota, mxu_ks_refs, Jk,
+                           lambda j, c, p_i: key_scr[
+                               (j * C + c) * Pks + p_i, :, 0],
+                           barrett=True)
+        ks_all = _inv_ntts(kp_ks, spec_ref, kitw_ref, kitws_ref, liota,
+                           mxu_ks_refs)
+        for c in range(C):
+            dlo, dhi = _garner_limbs(ks_all[c], kp_ks)
+            if c == k_in:
+                blo, bhi = perm[c]
+            else:
+                blo = jnp.zeros((bt, N), _U32)
+                bhi = jnp.zeros((bt, N), _U32)
+            olo = blo - dlo
+            borrow = (blo < dlo).astype(_U32)
+            out_ref[0, 0, c] = olo
+            out_ref[0, 1, c] = bhi - dhi - borrow
+
+    return kernel
+
+
+def ga_scan_fused(acc0, gens, sv32, svs32, ak32f, inv2n,
+                  kp: PBSKernelPlan, kp_ks: PBSKernelPlan,
+                  interpret: bool = False):
+    """The whole GA rotation scan in one pallas_call.
+
+    acc0: [B, C, N] u64 (post-initial-keyswitch accumulator; B a multiple
+    of the tile); gens: [n, B] i32 odd generators per step (the last
+    entry is a_{n-1}); sv32/svs32: [n, J, C, P, N] u32 TRGSW keys;
+    ak32f: [G, Jk*C*Pks, 1, N] u32 automorphism keyset (unit-minor DMA
+    layout); inv2n: [N] i32.  Returns [B, C, N] u64."""
+    B, C, N = acc0.shape
+    bt, nl = kp.bt, kp.nl
+    assert nl == 2, "ga_scan_fused implements the 64-bit torus only"
+    n = gens.shape[0]
+    nb = B // bt
+    J, P = kp.J, kp.P
+    t_ks = kp_ks.l
+    Jk = (C - 1) * t_ks
+    Pks = kp_ks.P
+    S = N.bit_length() - 1
+    tiles = split_limbs(acc0, kp)
+    kidx = ((gens - 1) >> 1).astype(jnp.int32)
+    ginv = jnp.take(inv2n, kidx, axis=-1) if inv2n.ndim == 1 else inv2n
+    # per-(step, tile) layouts
+    kidx_t = kidx.reshape(n, nb, 1, bt)
+    ginv_t = ginv.reshape(n, nb, bt, 1)
+    kernel = _make_ga_scan_kernel(kp, kp_ks)
+
+    z5 = lambda b, i: (b, i * 0, i * 0, i * 0, i * 0)
+    c3 = lambda b, i: (b * 0, i * 0, i * 0)
+    key5 = lambda b, i: (i, b * 0, b * 0, b * 0, b * 0)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N), z5, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, bt), lambda b, i: (i, b, i * 0, i * 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, bt, 1), lambda b, i: (i, b, i * 0, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, J, C, P, N), key5, memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, J, C, P, N), key5, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((P, S, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Pks, S, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Pks, S, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Pks, S + 1, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Pks, S + 1, N), c3, memory_space=pltpu.VMEM),
+    ]
+    args = [tiles, kidx_t, ginv_t, sv32, svs32, ak32f,
+            kp.ftw, kp.ftws, kp.itw, kp.itws,
+            kp_ks.ftw, kp_ks.ftws, kp_ks.itw, kp_ks.itws]
+
+    def mxu_specs2(kpx):
+        row = pl.BlockSpec((kpx.P, N), lambda b, i: (b * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+        mat = pl.BlockSpec((kpx.P, 512, 512),
+                           lambda b, i: (b * 0, i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+        return [row, row, mat, row, row, mat]
+
+    if kp.use_mxu:
+        in_specs += mxu_specs2(kp)
+        args += _mxu_args(kp)
+    if kp_ks.use_mxu:
+        in_specs += mxu_specs2(kp_ks)
+        args += [kp_ks.mxu_tw, kp_ks.mxu_tws, kp_ks.mxu_w,
+                 kp_ks.mxu_itwr, kp_ks.mxu_itwrs, kp_ks.mxu_iw]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid=(nb, n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nl, C, bt, N), z5,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((max(J, Jk), bt, N), jnp.int32),
+            pltpu.VMEM((C, max(P, Pks), bt, N), _U32),
+            pltpu.VMEM((Jk * C * Pks, bt, 1, N), _U32),
+            pltpu.SemaphoreType.DMA((bt,)),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return merge_limbs(out)
+
+
 # ---------------------------------------------------------------------------
 # Phase-1 kernel: rotate + combine the unfolded key products, fused NTT
 #

@@ -102,10 +102,50 @@ def _dot_macs(eqn):
     return float(batch * m * n * k)
 
 
+def _fetch_count(bm, grid):
+    """Number of block fetches for one operand: the Mosaic pipeline
+    re-fetches a block only when its index-map output changes, so count
+    the product of grid extents the index map actually VARIES with
+    (evaluated at basis points; exact for the affine/broadcast maps used
+    here).  Revisited blocks (constant along a grid dim) are fetched
+    once per outer change — e.g. the fused-scan accumulator is charged
+    per batch tile, not per step."""
+    import jax.core as jcore
+    imj = getattr(bm, "index_map_jaxpr", None)
+    if imj is None or not grid:
+        return int(np.prod(grid)) if grid else 1
+
+    def ev(pt):
+        return tuple(
+            int(x) for x in jcore.eval_jaxpr(
+                imj.jaxpr, imj.consts,
+                *[np.int32(v) for v in pt]))
+    try:
+        base = ev((0,) * len(grid))
+        # the pipeline re-fetches when the index CHANGES between
+        # consecutive (lexicographic) grid steps: a block varying with
+        # dim d* (the innermost varying dim) is fetched once per step of
+        # every dim up to and including d* — outer iterations reset the
+        # inner variation even for outer dims the map ignores
+        d_star = -1
+        for d, g in enumerate(grid):
+            if g <= 1:
+                continue
+            pt = [0] * len(grid)
+            pt[d] = 1
+            if ev(tuple(pt)) != base:
+                d_star = d
+        if d_star < 0:
+            return 1
+        return int(np.prod(grid[:d_star + 1]))
+    except Exception:
+        return int(np.prod(grid))
+
+
 def _pallas_hbm_bytes(eqn):
     gm = eqn.params["grid_mapping"]
-    grid = int(np.prod([int(g) for g in gm.grid])) if gm.grid else 1
-    total = 0
+    grid = [int(g) for g in gm.grid] if gm.grid else []
+    total = 0.0
     avals = [v.aval for v in eqn.invars] + list(eqn.params["out_avals"])
     for bm, aval in zip(gm.block_mappings, avals):
         if bm is None:
@@ -113,11 +153,16 @@ def _pallas_hbm_bytes(eqn):
         try:
             blk = 1
             for b in bm.block_shape:
-                blk *= int(getattr(b, "block_size", b) or 1)
-            total += blk * aval.dtype.itemsize
+                bs = getattr(b, "block_size", b)
+                try:
+                    blk *= int(bs) if bs is not None else 1
+                except (TypeError, ValueError):
+                    blk *= 1          # Squeezed() entries: extent 1
+            total += blk * aval.dtype.itemsize * _fetch_count(bm, grid)
         except Exception:
-            total += int(np.prod(aval.shape)) * aval.dtype.itemsize
-    return float(total * grid)
+            total += int(np.prod(aval.shape)) * aval.dtype.itemsize \
+                * (int(np.prod(grid)) if grid else 1)
+    return float(total)
 
 
 def _while_trip_count(eqn) -> int:

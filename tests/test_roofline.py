@@ -59,8 +59,25 @@ def test_pallas_grid_multiplies():
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))
     c = roofline.count_fn(f, jnp.ones((8, 128), jnp.float32))
     assert c.vpu_ops == 4 * 2 * 8 * 128
-    # HBM model: each grid step fetches in-block + writes out-block
-    assert c.hbm_bytes == 4 * 2 * 8 * 128 * 4
+    # HBM model: blocks whose index map is CONSTANT across the grid are
+    # fetched once (Mosaic revisiting) — in + out = 2 blocks
+    assert c.hbm_bytes == 2 * 8 * 128 * 4
+
+
+def test_pallas_hbm_varies_with_grid():
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + jnp.float32(1)
+
+    f = pl.pallas_call(
+        kern, grid=(4,),
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (i, i * 0))],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, i * 0)),
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))
+    c = roofline.count_fn(f, jnp.ones((32, 128), jnp.float32))
+    # index map varies with the grid dim: 4 fetches each way
+    assert c.hbm_bytes == 2 * 4 * 8 * 128 * 4
 
 
 @pytest.mark.parametrize("mxu", ["0", "1"])
