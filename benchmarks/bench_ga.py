@@ -68,6 +68,7 @@ def main():
         "decrypt_ok": bool(ok),
         "fused_perm": os.environ.get("MOSFHET_GA_FUSED", "1") == "1",
         "stream": os.environ.get("MOSFHET_GA_STREAM", "1") == "1",
+        "onekernel": os.environ.get("MOSFHET_GA_ONEKERNEL", "0") == "1",
     }
 
     # MXU-NTT leg (same pattern as bench.py / bench_torus32): re-trace the

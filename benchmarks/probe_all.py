@@ -163,6 +163,19 @@ def production_probes():
               lambda p_, a_, i_, kp=kp:
               pk.auto_keyswitch_stream(p_, a_, i_, kp), perm, ak, kidx)
 
+        # whole-scan fused GA (ext product + permute + streamed auto-KS)
+        acc_ga = _rand((B, C, N))
+        gens = (_rand((2, B), np.int32, hi=N) * 2 + 1).astype(jnp.int32)
+        sv = _key(kp, 2, J)
+        akf = ak.reshape(Gk, Jk * C * kp.P, 1, N)
+        import numpy as _np
+        inv2n = jnp.asarray(_np.array(
+            [pow(x, -1, 2 * N) for x in range(1, 2 * N, 2)], _np.int32))
+        probe(f"ga_scan_fused_{mode}",
+              lambda acc, g_, sv_, kp=kp: pk.ga_scan_fused(
+                  acc, g_, sv_, sv_, akf, inv2n, kp, kp),
+              acc_ga, gens, sv)
+
     for mode in ("default", "mxu", "rotntt_mxu"):
         kp = _plan(mode)
         j_local = J // 2

@@ -1341,7 +1341,10 @@ def blind_rotate_scan(acc0, a_int, keyv32, keyvs32, kp: PBSKernelPlan,
     keyv32/keyvs32: [n, J, C, P, N] u32 bootstrap key (+ Shoup)
     Scan state stays in u32 limb tiles — no u64 ops inside the loop.
     """
-    if _os.environ.get("MOSFHET_FUSED_SCAN", "0") == "1":
+    # DEFAULT since round 5: measured 450.9 vs 441.0 boot/s @ L2 batch
+    # 256 and 466.3 vs 460.1 @ 512 (decrypt-OK both) — the whole-scan
+    # single-pallas_call form wins at both batches.
+    if _os.environ.get("MOSFHET_FUSED_SCAN", "1") == "1":
         return blind_rotate_scan_fused(acc0, a_int, keyv32, keyvs32, kp,
                                        interpret=interpret)
     B = acc0.shape[0]

@@ -145,3 +145,25 @@ def test_ga_kernel_fused_permute(monkeypatch):
     np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got_f.b))
     np.testing.assert_array_equal(np.asarray(got_u.a), np.asarray(got_f.a))
     np.testing.assert_array_equal(np.asarray(got_u.b), np.asarray(got_f.b))
+
+
+def test_ga_onekernel_bit_exact(monkeypatch):
+    """MOSFHET_GA_ONEKERNEL=1 (whole-scan fused GA kernel: external
+    product + in-kernel permute + DMA-streamed auto-KS per grid step,
+    `ops/pbs_kernel.ga_scan_fused`) is bit-identical to the jnp scan,
+    including the padded-batch path."""
+    kk = jax.random.split(jax.random.fold_in(KEY, 33), 5)
+    kt = tlwe.new_binary_key(kk[0], P_GA.n, P_GA.lwe_sigma)
+    kr = trlwe.new_binary_key(kk[1], P_GA.N, P_GA.k, P_GA.rlwe_sigma)
+    gk = trgsw.new_key(kr, P_GA.l, P_GA.Bg_bit)
+    bkg = bootstrap_ga.new_key(kk[2], gk, kt)
+    luts = rng.uniform_torus(kk[3], (4,))
+    tv = trlwe.torus_packing(luts, P_GA.k, P_GA.N)
+    ms = torus.double2torus(jnp.arange(3) / 8.0)   # batch 3: pad path
+    cs = tlwe.encrypt(ms, kt, kk[4])
+    want = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg, impl="jnp")
+    monkeypatch.setenv("MOSFHET_GA_ONEKERNEL", "1")
+    got = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
+                                       impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got.b))

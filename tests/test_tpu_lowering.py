@@ -179,3 +179,20 @@ def test_lower_ubr_phase1_v2(mode):
     rot = _rand((1, G, M), np.int32, hi=2 * N)
     _lower_tpu(lambda su, rot:
                pk.ubr_phase1_combine_v2(su, rot, kp), su, rot)
+
+
+@pytest.mark.parametrize("mode", ["default", "mxu"])
+def test_lower_ga_scan_fused(mode):
+    kp = _plan(mode)
+    acc = _rand((B, C, N))
+    gens = (_rand((2, B), np.int32, hi=N) * 2 + 1).astype(jnp.int32)
+    sv = _key(kp, 2, J)
+    Gk = 4
+    Jk = (C - 1) * kp.l
+    ak = _rand((Gk, Jk * C * kp.P, 1, N), np.uint64,
+               hi=min(kp.primes)).astype(jnp.uint32)
+    inv2n = jnp.asarray(np.array(
+        [pow(x, -1, 2 * N) for x in range(1, 2 * N, 2)], np.int32))
+    _lower_tpu(lambda acc, g_, sv_:
+               pk.ga_scan_fused(acc, g_, sv_, sv_, ak, inv2n, kp, kp),
+               acc, gens, sv)
