@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-5 pass H (waits for pass G): closure legs.
+#  1. persistent-compile-cache verification: bench.py keygen twice in
+#     fresh processes sharing JAX_CACHE_DIR — second run's
+#     keygen_compile_s tells whether the axon backend serializes
+#     executables (VERDICT task 10).
+#  2. honest HBM ceiling probe (nonzero fill).
+#  3. final full headline bench (batch 512, both NTT plans + TORUS32).
+set -u
+export PALLAS_AXON_POOL_IPS=127.0.0.1 PALLAS_AXON_REMOTE_COMPILE=1 \
+       PALLAS_AXON_TPU_GEN=v5e AXON_LOOPBACK_RELAY=1 TPU_SKIP_MDS_QUERY=1
+export PYTHONPATH=/root/repo:/root/.axon_site
+export BENCH_DEVICE_PROBE=0
+cd /root/repo
+R=benchmarks/results_r5.jsonl
+
+while ! grep -q "PASS G DONE" /tmp/measure_r5.log 2>/dev/null; do sleep 60; done
+
+leg () {
+  local name=$1 tmo=$2; shift 2
+  echo "== leg $name start $(date)" >> /tmp/measure_r5.log
+  timeout "$tmo" env "$@" > "/tmp/leg_${name}.out" 2> "/tmp/leg_${name}.err"
+  local rc=$?
+  echo "== leg $name exit $rc $(date)" >> /tmp/measure_r5.log
+  grep '^{' "/tmp/leg_${name}.out" | while read -r line; do
+    printf '%s\n' "$line" | python3 -c "
+import json,sys
+row = json.loads(sys.stdin.read()); row['leg'] = '$name'
+print(json.dumps(row))" >> "$R"
+  done
+}
+
+export JAX_CACHE_DIR=/root/.cache/jax_mosfhet
+leg cache_a     2400 BENCH_MXU=0 BENCH_TORUS32=0 BENCH_MFU=0 BENCH_REPS=1 BENCH_BATCH=256 python bench.py
+leg cache_b     2400 BENCH_MXU=0 BENCH_TORUS32=0 BENCH_MFU=0 BENCH_REPS=1 BENCH_BATCH=256 python bench.py
+leg hbm2         900 python benchmarks/probe_hbm.py
+leg final512    4000 BENCH_BATCH=512 python bench.py
+echo "PASS H DONE $(date)" >> /tmp/measure_r5.log

@@ -10,20 +10,24 @@ import jax.numpy as jnp
 
 
 def main():
+    def alloc(size_mib):
+        # nonzero fill: a zeros buffer may be materialized lazily
+        n = size_mib * 256 * 1024
+        return jax.block_until_ready(
+            jax.jit(lambda: jnp.arange(n, dtype=jnp.uint32))())
+
     held = []
     gib = 0.0
-    for size_mib in (1024,) * 20:
+    for size_mib in (1024,) * 24:
         try:
-            held.append(jax.block_until_ready(
-                jnp.zeros((size_mib * 256 * 1024,), jnp.uint32)))
+            held.append(alloc(size_mib))
             gib += size_mib / 1024
             print(f"# held {gib:.2f} GiB", file=sys.stderr, flush=True)
         except Exception:
             break
     for size_mib in (256,) * 4:
         try:
-            held.append(jax.block_until_ready(
-                jnp.zeros((size_mib * 256 * 1024,), jnp.uint32)))
+            held.append(alloc(size_mib))
             gib += size_mib / 1024
         except Exception:
             break

@@ -107,7 +107,7 @@ def test_pallas_step_kernel_torus32():
     a = rng.uniform_torus(k4, (B, p.n))
     want = bootstrap.blind_rotate(tv_b, a, bk, impl="jnp")
 
-    kp = pk.get_kernel_plan(p.N, bk.primes, p.l, p.Bg_bit, p.k)
+    kp = pk.get_kernel_plan(p.N, bk.primes, p.l, p.Bg_bit, p.k, bt=32)
     assert kp.nl == 1 and kp.P == 2   # TORUS32: single limb, two primes
     log_N2 = int(math.log2(2 * p.N))
     a_int = torus.torus2int(a, log_N2).astype(jnp.int32)
