@@ -34,5 +34,7 @@ export JAX_CACHE_DIR=/root/.cache/jax_mosfhet
 leg cache_a     2400 BENCH_MXU=0 BENCH_TORUS32=0 BENCH_MFU=0 BENCH_REPS=1 BENCH_BATCH=256 python bench.py
 leg cache_b     2400 BENCH_MXU=0 BENCH_TORUS32=0 BENCH_MFU=0 BENCH_REPS=1 BENCH_BATCH=256 python bench.py
 leg hbm2         900 python benchmarks/probe_hbm.py
+leg composite   3600 BENCH_BATCH=256 SECTIONS=gate python benchmarks/bench_composite.py
+leg fused1024   2400 BENCH_MXU=0 BENCH_TORUS32=0 BENCH_BATCH=1024 python bench.py
 leg final512    4000 BENCH_BATCH=512 python bench.py
 echo "PASS H DONE $(date)" >> /tmp/measure_r5.log
