@@ -27,6 +27,8 @@ print(json.dumps(row))" >> "$R"
   done
 }
 
+leg hbm_honest    900 python benchmarks/probe_hbm.py
+leg cb_priv1     3600 CB_SET=SET_3 CB_ORDER=priv_first MOSFHET_KEYGEN_CHUNK=1024 python benchmarks/probe_cb_mem.py
 leg probe_ga1k   1800 PROBE_PRODUCTION=1 PROBE_EXPERIMENTAL=0 PROBE_ONLY=ga_scan_fused python benchmarks/probe_all.py
 leg ga_onek      3000 MOSFHET_GA_ONEKERNEL=1 BENCH_BATCH=256 python benchmarks/bench_ga.py
 echo "PASS F DONE $(date)" >> /tmp/measure_r5.log

@@ -66,12 +66,25 @@ def main():
     gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
     stats("base")
 
-    ksk1 = step("packing1_seeded", lambda: jax.jit(
-        lambda r, ok, ik: ks.new_packing1_ks_key_seeded(
-            r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
-    kska = step("priv_sk_seeded", lambda: jax.jit(
-        lambda r, ok, ik: ks.new_priv_sk_ks_key_seeded(
-            r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
+    def gen_packing1():
+        return step("packing1_seeded", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_packing1_ks_key_seeded(
+                r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
+
+    def gen_priv():
+        return step("priv_sk_seeded", lambda: jax.jit(
+            lambda r, ok, ik: ks.new_priv_sk_ks_key_seeded(
+                r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
+
+    # CB_ORDER=priv_first: diagnose whether the priv-SK keygen OOM is
+    # program-internal (fails alone too) or residency (only fails next
+    # to the resident packing1 table)
+    if os.environ.get("CB_ORDER") == "priv_first":
+        kska = gen_priv()
+        ksk1 = gen_packing1()
+    else:
+        ksk1 = gen_packing1()
+        kska = gen_priv()
     bk = step("bk", lambda: jax.jit(
         lambda r, k_: bootstrap.new_key(r, gk, k_, 1))(kk[2], key_tlwe))
 

@@ -1863,7 +1863,11 @@ def ext_product_apply_scan(acc0, sa32, kp: PBSKernelPlan,
     sa32: [G, J, C, P, N] u32 exact residues (broadcast over the batch), or
           [G, B, J, C, P, N] (per-row keys, B matching acc0).
     Bit-identical to the jnp scan in
-    `bootstrap.multivalue_bootstrap_UBR_phase2`."""
+    `bootstrap.multivalue_bootstrap_UBR_phase2`.
+
+    Default (MOSFHET_FUSED_SCAN=1): one pallas_call over grid (nb, G)
+    with the accumulator VMEM-resident and the per-step keys pipelined,
+    same pattern as `blind_rotate_scan_fused`."""
     B = acc0.shape[0]
     nb = B // kp.bt
     tiles = split_limbs(acc0, kp)
@@ -1873,11 +1877,125 @@ def ext_product_apply_scan(acc0, sa32, kp: PBSKernelPlan,
         sa32 = sa32.reshape(G, nb, kp.bt, J, C, P, N) \
                    .transpose(0, 1, 3, 4, 5, 2, 6)    # [G, nb, J, C, P, BT, N]
 
+    if _os.environ.get("MOSFHET_FUSED_SCAN", "1") == "1":
+        return _apply_scan_fused(tiles, sa32, kp, per_row,
+                                 interpret=interpret)
+
     def step(carry, key_g):
         return _apply_step_tiles(carry, key_g, kp, per_row,
                                  interpret=interpret), None
 
     out, _ = jax.lax.scan(step, tiles, sa32)
+    return merge_limbs(out)
+
+
+def _make_apply_scan_kernel(kp: PBSKernelPlan, per_row: bool):
+    bt = kp.bt
+
+    def kernel(acc_ref, keyv_ref, ftw_ref, ftws_ref, itw_ref, itws_ref,
+               *rest):
+        if kp.use_mxu:
+            mxu_refs = tuple(rest[:6])
+            out_ref, dig_ref, spec_ref = rest[6:]
+        else:
+            out_ref, dig_ref, spec_ref = rest
+            mxu_refs = None
+        liota = jax.lax.broadcasted_iota(_U32, (bt, kp.N), 1)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _seed():
+            out_ref[...] = acc_ref[...]
+
+        def key_row(j, c, p_i):
+            if per_row:
+                return keyv_ref[0, j, c, p_i]                # [BT, N]
+            return jnp.broadcast_to(
+                keyv_ref[j, c, p_i:p_i + 1, :], (bt, kp.N))
+
+        acc_limbs = []
+        for c in range(kp.C):
+            alo = out_ref[0, 0, c]
+            ahi = out_ref[0, 1, c] if kp.nl == 2 else None
+            acc_limbs.append((alo, ahi))
+        _decompose_to_digits(acc_limbs, dig_ref, kp)
+
+        for c in range(kp.C):
+            for p in range(kp.P):
+                spec_ref[c, p] = jnp.zeros((bt, kp.N), _U32)
+
+        _ntt_mul_acc_keyfn(kp, dig_ref, spec_ref, ftw_ref, ftws_ref,
+                           liota, mxu_refs, kp.J, key_row, barrett=True)
+
+        ts_all = _inv_ntts(kp, spec_ref, itw_ref, itws_ref, liota,
+                           mxu_refs)
+        for c in range(kp.C):
+            ts = ts_all[c]
+            if kp.nl == 1:
+                out_ref[0, 0, c] = _garner_limb32(ts, kp)
+                continue
+            dlo, dhi = _garner_limbs(ts, kp)
+            out_ref[0, 0, c] = dlo
+            out_ref[0, 1, c] = dhi
+
+    return kernel
+
+
+def _apply_scan_fused(tiles, sa32, kp: PBSKernelPlan, per_row: bool,
+                      interpret: bool = False):
+    """`ext_product_apply_scan` as one pallas_call (grid (nb, G), acc in a
+    revisited VMEM block, step keys pipelined)."""
+    nb = tiles.shape[0]
+    N, P, C, J, bt, nl = kp.N, kp.P, kp.C, kp.J, kp.bt, kp.nl
+    G = sa32.shape[0]
+    S = N.bit_length() - 1
+    kernel = _make_apply_scan_kernel(kp, per_row)
+    z5 = lambda b, i: (b, i * 0, i * 0, i * 0, i * 0)
+    c3 = lambda b, i: (b * 0, i * 0, i * 0)
+    if per_row:
+        key_spec = pl.BlockSpec(
+            (None, 1, J, C, P, bt, N),
+            lambda b, i: (i, b, i * 0, i * 0, i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM)
+    else:
+        key_spec = pl.BlockSpec(
+            (None, J, C, P, N),
+            lambda b, i: (i, b * 0, b * 0, b * 0, b * 0),
+            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, nl, C, bt, N), z5, memory_space=pltpu.VMEM),
+        key_spec,
+        pl.BlockSpec((P, S, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), c3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, S + 1, N), c3, memory_space=pltpu.VMEM),
+    ]
+    args = [tiles, sa32, kp.ftw, kp.ftws, kp.itw, kp.itws]
+    if kp.use_mxu:
+        row = pl.BlockSpec((P, N), lambda b, i: (b * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+        mat = pl.BlockSpec((P, 512, 512),
+                           lambda b, i: (b * 0, i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+        in_specs += [row, row, mat, row, row, mat]
+        args += _mxu_args(kp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nl, C, bt, N), _U32),
+        grid=(nb, G),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nl, C, bt, N), z5,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((J, bt, N), jnp.int32),
+            pltpu.VMEM((C, P, bt, N), _U32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
     return merge_limbs(out)
 
 

@@ -204,3 +204,39 @@ def test_blind_rotate_scan_fused_bit_exact():
         got = pk.blind_rotate_scan_fused(acc0, a_int, v32, vs32, kp,
                                          interpret=True)
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_apply_scan_fused_bit_exact():
+    """Fused `ext_product_apply_scan` (grid (nb, G), revisited acc,
+    pipelined step keys) == per-step scan form, broadcast and per-row
+    key modes, both NTT plans."""
+    N, k, l, Bg_bit = 256, 1, 2, 9
+    C = k + 1
+    J = C * l
+    primes = _ntt.primes_for_bound(_ntt.conv_bound(N, 1 << (Bg_bit - 1), J))
+    rs = np.random.default_rng(13)
+    B, G = 64, 5
+    acc0 = jnp.asarray(rs.integers(0, 1 << 64, (B, C, N), dtype=np.uint64))
+    for mxu in (False, True):
+        kp = pk.get_kernel_plan(N, primes, l, Bg_bit, k, bt=32, mxu=mxu)
+        P = kp.P
+        sa = jnp.asarray(rs.integers(
+            0, min(primes), (G, J, C, P, N), dtype=np.uint64)
+        ).astype(jnp.uint32)
+        sar = jnp.asarray(rs.integers(
+            0, min(primes), (G, B, J, C, P, N), dtype=np.uint64)
+        ).astype(jnp.uint32)
+        for per_row, key in ((False, sa), (True, sar)):
+            import os
+            os.environ["MOSFHET_FUSED_SCAN"] = "0"
+            try:
+                want = pk.ext_product_apply_scan(acc0, key, kp,
+                                                 per_row=per_row,
+                                                 interpret=True)
+            finally:
+                os.environ.pop("MOSFHET_FUSED_SCAN", None)
+            got = pk.ext_product_apply_scan(acc0, key, kp,
+                                            per_row=per_row,
+                                            interpret=True)
+            np.testing.assert_array_equal(np.asarray(want),
+                                          np.asarray(got))
