@@ -196,3 +196,21 @@ def test_lower_ga_scan_fused(mode):
     _lower_tpu(lambda acc, g_, sv_:
                pk.ga_scan_fused(acc, g_, sv_, sv_, ak, inv2n, kp, kp),
                acc, gens, sv)
+
+
+@pytest.mark.parametrize("NN,ll,bb", [(1024, 2, 8), (4096, 1, 22)])
+def test_lower_blind_rotate_scan_fused_other_geometries(NN, ll, bb):
+    """Fused whole-scan kernel at SET_1 (N=1024) and SET_3 (N=4096)
+    geometries — geometry-specific Mosaic lowering failures must not
+    reach the hardware matrix first."""
+    CC = 2
+    JJ = CC * ll
+    bound = _ntt.conv_bound(NN, 1 << (bb - 1), JJ)
+    primes = _ntt.primes_for_bound(bound)
+    kp = pk.get_kernel_plan(NN, primes, ll, bb, 1, mxu=True)
+    acc = _rand((pk.DEFAULT_BT, CC, NN))
+    a = _rand((2, pk.DEFAULT_BT), np.int32, hi=2 * NN)
+    kv = _rand((2, JJ, CC, kp.P, NN), np.uint64,
+               hi=min(kp.primes)).astype(jnp.uint32)
+    _lower_tpu(lambda acc, a, kv:
+               pk.blind_rotate_scan_fused(acc, a, kv, kv, kp), acc, a, kv)
