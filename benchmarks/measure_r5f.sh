@@ -27,6 +27,7 @@ print(json.dumps(row))" >> "$R"
   done
 }
 
+leg ubr_u8_mc32  3000 MOSFHET_UBR_V2=1 MOSFHET_UBR_MC=32 BENCH_UNFOLDS=8 BENCH_LUTS=256 python benchmarks/bench_unfolded.py
 leg hbm_honest    900 python benchmarks/probe_hbm.py
 leg cb_priv1     3600 CB_SET=SET_3 CB_ORDER=priv_first MOSFHET_KEYGEN_CHUNK=1024 python benchmarks/probe_cb_mem.py
 leg probe_ga1k   1800 PROBE_PRODUCTION=1 PROBE_EXPERIMENTAL=0 PROBE_ONLY=ga_scan_fused python benchmarks/probe_all.py

@@ -2895,8 +2895,12 @@ def ubr_phase1_combine_v2(su_planes, rot, kp: PBSKernelPlan,
     P, C, J = kp.P, kp.C, kp.J
     assert JC == J * C and N == kp.N
     S = N.bit_length() - 1
-    mc = min(8, M)
-    assert M % mc == 0
+    # combinations per grid step: larger mc amortizes per-step overhead
+    # (su block = mc * JC * N * 4 B per limb, double-buffered by the
+    # pipeline — mc=32 is 8 MiB/limb at L2, well inside VMEM)
+    mc = min(int(_os.environ.get("MOSFHET_UBR_MC", "8")), M)
+    while M % mc:
+        mc -= 1
     Mc = M // mc
     kernel = _make_phase1_v2_kernel(kp, Mc, mc)
     su_spec = pl.BlockSpec(
