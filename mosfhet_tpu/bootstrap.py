@@ -523,7 +523,10 @@ def multivalue_bootstrap_UBR_phase1(c: TLWE, bk: BootstrapKey,
         su_planes = bk.su.reshape(
             bk.su.shape[0], G, 1 << u, (bk.k + 1) * bk.l * (bk.k + 1), bk.N)
         import os as _os
-        if _os.environ.get("MOSFHET_UBR_V2", "0") == "1":
+        # DEFAULT since round 5: v2 measured 72.6 ms/ct at u=8 (v1 was
+        # ~130 at BT=32, and at the BT=64 default v1's group-tiled kernel
+        # exceeds the 100 MB scoped-vmem limit outright)
+        if _os.environ.get("MOSFHET_UBR_V2", "1") == "1":
             # streaming combine: scalar dynamic roll per mask combination
             # (groups on the grid) — measured alternative to the
             # group-on-sublanes per-row rotation network
