@@ -295,7 +295,9 @@ def blind_rotate_ga(tv: TRLWE, a, bk: GABootstrapKey,
         import os
         stream = os.environ.get("MOSFHET_GA_STREAM", "1") == "1"
         fused = stream and os.environ.get("MOSFHET_GA_FUSED", "1") == "1"
-        onekernel = os.environ.get("MOSFHET_GA_ONEKERNEL", "0") == "1"
+        # DEFAULT since round 5: measured 3.815 ms/op @ L2 batch 256
+        # decrypt-OK vs 4.105 for the two-kernel form
+        onekernel = os.environ.get("MOSFHET_GA_ONEKERNEL", "1") == "1"
 
         if onekernel:
             # whole scan as ONE pallas_call: per step, external product +

@@ -35,6 +35,7 @@ def test_ga_kernel_mxu(monkeypatch):
     cs = tlwe.encrypt(ms, kt, kk[4])
     want = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg, impl="jnp")
     monkeypatch.setenv("MOSFHET_NTT_MXU", "1")
+    monkeypatch.setenv("MOSFHET_GA_ONEKERNEL", "0")  # pin two-kernel path
     got = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
                                        impl="pallas_interpret")
     np.testing.assert_array_equal(np.asarray(want.a), np.asarray(got.a))
@@ -46,7 +47,8 @@ def test_ga_kernel_mxu(monkeypatch):
     np.testing.assert_array_equal(np.asarray(want.b), np.asarray(got2.b))
 
 
-def test_ga_kernel_bit_exact():
+def test_ga_kernel_bit_exact(monkeypatch):
+    monkeypatch.setenv("MOSFHET_GA_ONEKERNEL", "0")  # pin two-kernel path
     kk = jax.random.split(KEY, 5)
     kt = tlwe.new_binary_key(kk[0], P_GA.n, P_GA.lwe_sigma)
     kr = trlwe.new_binary_key(kk[1], P_GA.N, P_GA.k, P_GA.rlwe_sigma)
@@ -135,6 +137,7 @@ def test_ga_kernel_fused_permute(monkeypatch):
     ms = torus.double2torus(jnp.arange(3) / 8.0)   # odd batch: padding path
     cs = tlwe.encrypt(ms, kt, kk[4])
     want = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg, impl="jnp")
+    monkeypatch.setenv("MOSFHET_GA_ONEKERNEL", "0")  # pin two-kernel path
     monkeypatch.setenv("MOSFHET_GA_FUSED", "1")
     got_f = bootstrap_ga.blind_rotate_ga(tv, cs.a, bkg,
                                          impl="pallas_interpret")
