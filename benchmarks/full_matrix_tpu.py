@@ -84,11 +84,15 @@ REF_EXPECTED = {
     "ga_bootstrap":      {"SET_1": False, "SET_2": True, "SET_3": True,
                           "TFHEPP_L2": True},
 }
-# Cells at the noise edge where single reference runs flip between pass
-# and fail (measured: SET_1 test_tlwe_mul passed 1 of 4 reference runs —
-# ref_suite_r5/SET_1.log + three re-runs): directional parity cannot be
-# asserted from one run on either side.
-MARGINAL = {("SET_1", "tlwe_mul")}
+# Cells at the noise edge where single runs flip between pass and fail
+# (measured: SET_1 test_tlwe_mul passed 1 of 4 reference runs —
+# ref_suite_r5/SET_1.log + three re-runs; SET_1 ga_bootstrap on OUR side
+# measured 2^61.8 fail and 2^56.2 pass across two hardware runs vs the
+# 2^59 threshold — the exact CRT-NTT's ~2-bit noise edge over the
+# reference's f64 FFT puts us exactly at the envelope boundary where the
+# reference consistently fails): directional parity cannot be asserted
+# from one run on either side.
+MARGINAL = {("SET_1", "tlwe_mul"), ("SET_1", "ga_bootstrap")}
 # Cells where we pass and the reference fails BECAUSE the exact CRT-NTT
 # removes the reference's ~2^-40 f64 FFT transform noise (analyzed in
 # BASELINE.md round-3 parity table) — a justified divergence in our favor.
@@ -133,7 +137,12 @@ def run_set(set_name, emit, ops=None):
 
     p = params.get_params(set_name)
     KEY = jax.random.PRNGKey(20260817)
-    kk = jax.random.split(jax.random.fold_in(KEY, hash(set_name) % 97), 10)
+    # deterministic per-set fold: python's hash() of a str is randomized
+    # per process (PYTHONHASHSEED), which made marginal cells flip
+    # between runs (round-5 finding: SET_1 ga_bootstrap measured 2^61.8
+    # fail and 2^56.2 pass on different days purely from the seed)
+    set_fold = sum(set_name.encode()) % 97
+    kk = jax.random.split(jax.random.fold_in(KEY, set_fold), 10)
     t0 = time.time()
     # Base keygen is guarded too: the r3 run aborted with a bare
     # RESOURCE_EXHAUSTED and zero rows, so every failure must name its step
