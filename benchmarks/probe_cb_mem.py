@@ -66,13 +66,20 @@ def main():
     gk = trgsw.new_key(key_trlwe, p.l, p.Bg_bit)
     stats("base")
 
+    # MOSFHET_KEYGEN_HOST=1 uses the host-staged table generator, which
+    # must run OUTSIDE jit (it stages spans through host RAM)
+    hoststaged = os.environ.get("MOSFHET_KEYGEN_HOST") == "1"
+
+    def maybe_jit(fn):
+        return fn if hoststaged else jax.jit(fn)
+
     def gen_packing1():
-        return step("packing1_seeded", lambda: jax.jit(
+        return step("packing1_seeded", lambda: maybe_jit(
             lambda r, ok, ik: ks.new_packing1_ks_key_seeded(
                 r, ok, ik, p.t, p.base_bit))(kk[6], key_trlwe, key_out))
 
     def gen_priv():
-        return step("priv_sk_seeded", lambda: jax.jit(
+        return step("priv_sk_seeded", lambda: maybe_jit(
             lambda r, ok, ik: ks.new_priv_sk_ks_key_seeded(
                 r, ok, ik, p.t, p.base_bit))(kk[7], key_trlwe, key_out))
 

@@ -453,6 +453,52 @@ def _seeded_zero_table(rkey, out_key: TRLWEKey, total: int, add_fn=None):
             bs.reshape(n_chunks * chunk, N)[:total])
 
 
+def _seeded_zero_table_hoststaged(rkey, out_key: TRLWEKey, total: int,
+                                  add_fn=None, parts: int = 4):
+    """Host-staged `_seeded_zero_table`: generate the table in `parts`
+    separate jitted programs, fetch each span to host, assemble, and
+    device_put the final buffer once.
+
+    Why: the single-program keygen's internal buffer demand is ~2x its
+    output (measured, `benchmarks/probe_coresident.py`) — at SET_3 that
+    is ~9 GiB, which cannot fit NEXT TO an already-resident 4.4 GiB
+    sister table (the circuit-bootstrap key pair).  Staging caps the
+    device transient at ~(1 + 2/parts) x table for one host round trip
+    (~4.4 GiB through the link).  Must be called OUTSIDE jit."""
+    import numpy as np
+    N = out_key.N
+    span = -(-total // parts)
+    out_seeds = np.empty((total, 2), np.uint32)
+    out_b = np.empty((total, N),
+                     np.uint32 if TORUS_BITS == 32 else np.uint64)
+    for pi in range(parts):
+        start0 = pi * span
+        cnt = min(span, total - start0)
+        if cnt <= 0:
+            break
+        part_fn = None
+        if add_fn is not None:
+            part_fn = (lambda idx, s0=start0: add_fn(idx + s0))
+
+        def gen(rk, cnt=cnt, part_fn=part_fn):
+            return _seeded_zero_table(rk, out_key, cnt, part_fn)
+
+        s, b = jax.jit(gen)(jax.random.fold_in(rkey, pi))
+        out_seeds[start0:start0 + cnt] = np.asarray(s)
+        out_b[start0:start0 + cnt] = np.asarray(b)
+        del s, b
+    return jnp.asarray(out_seeds), jnp.asarray(out_b)
+
+
+def _table_gen(total: int):
+    """Select the table generator: MOSFHET_KEYGEN_HOST=1 picks the
+    host-staged form (callable only outside jit)."""
+    import os
+    if os.environ.get("MOSFHET_KEYGEN_HOST") == "1":
+        return _seeded_zero_table_hoststaged
+    return _seeded_zero_table
+
+
 def new_packing1_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
                                t: int, base_bit: int) -> SeededGenericKSKey:
     """Seeded `trlwe_new_packing1_KS_key` (`keyswitch.c:368-390`)."""
@@ -464,7 +510,8 @@ def new_packing1_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
         out = jnp.zeros((idx.shape[0], out_key.N), TORUS_DTYPE)
         return out.at[:, 0].set(dec_flat[idx])
 
-    seeds, b = _seeded_zero_table(rkey, out_key, n * t * base_m1, add_fn)
+    seeds, b = _table_gen(n * t * base_m1)(rkey, out_key,
+                                           n * t * base_m1, add_fn)
     shape = (n, t, base_m1)
     return SeededGenericKSKey(seeds=seeds.reshape(shape + (2,)),
                               b=b.reshape(shape + (out_key.N,)),
@@ -485,8 +532,8 @@ def new_priv_sk_ks_key_seeded(rkey, out_key: TRLWEKey, in_key: TLWEKey,
     def add_fn(idx):
         return dec_flat[idx][:, None] * minus_s[None, :]
 
-    seeds, b = _seeded_zero_table(rkey, out_key, (n + 1) * t * base_m1,
-                                  add_fn)
+    seeds, b = _table_gen((n + 1) * t * base_m1)(
+        rkey, out_key, (n + 1) * t * base_m1, add_fn)
     shape = (n + 1, t, base_m1)
     return SeededGenericKSKey(seeds=seeds.reshape(shape + (2,)),
                               b=b.reshape(shape + (out_key.N,)),
