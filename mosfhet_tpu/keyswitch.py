@@ -454,40 +454,50 @@ def _seeded_zero_table(rkey, out_key: TRLWEKey, total: int, add_fn=None):
 
 
 def _seeded_zero_table_hoststaged(rkey, out_key: TRLWEKey, total: int,
-                                  add_fn=None, parts: int = 4):
-    """Host-staged `_seeded_zero_table`: generate the table in `parts`
-    separate jitted programs, fetch each span to host, assemble, and
-    device_put the final buffer once.
+                                  add_fn=None, parts: int = 8):
+    """Staged `_seeded_zero_table`: generate the table in `parts`
+    separate jitted programs, accumulating each span into a DONATED
+    device buffer via dynamic_update_slice.
 
     Why: the single-program keygen's internal buffer demand is ~2x its
     output (measured, `benchmarks/probe_coresident.py`) — at SET_3 that
     is ~9 GiB, which cannot fit NEXT TO an already-resident 4.4 GiB
     sister table (the circuit-bootstrap key pair).  Staging caps the
-    device transient at ~(1 + 2/parts) x table for one host round trip
-    (~4.4 GiB through the link).  Must be called OUTSIDE jit."""
-    import numpy as np
+    device peak at ~table + 3x table/parts (the donated accumulator
+    updates in place; a host round trip was measured worse — a single
+    4.4 GiB transfer through the tunnel itself RESOURCE_EXHAUSTs).
+    Must be called OUTSIDE jit."""
     N = out_key.N
-    span = -(-total // parts)
-    out_seeds = np.empty((total, 2), np.uint32)
-    out_b = np.empty((total, N),
-                     np.uint32 if TORUS_BITS == 32 else np.uint64)
-    for pi in range(parts):
-        start0 = pi * span
-        cnt = min(span, total - start0)
-        if cnt <= 0:
-            break
+    span = max(1, total // parts)
+    bt_dtype = jnp.uint32 if TORUS_BITS == 32 else jnp.uint64
+    seeds_buf = jnp.zeros((total, 2), jnp.uint32)
+    b_buf = jnp.zeros((total, N), bt_dtype)
+
+    def upd(buf, part, start):
+        return jax.lax.dynamic_update_slice(
+            buf, part, (start, jnp.zeros((), jnp.int32)))
+
+    upd_b = jax.jit(upd, donate_argnums=0)
+    upd_s = jax.jit(upd, donate_argnums=0)
+
+    start0 = 0
+    pi = 0
+    while start0 < total:
+        cnt = span if start0 + 2 * span <= total else total - start0
         part_fn = None
         if add_fn is not None:
             part_fn = (lambda idx, s0=start0: add_fn(idx + s0))
 
-        def gen(rk, cnt=cnt, part_fn=part_fn):
+        def gen_p(rk, cnt=cnt, part_fn=part_fn):
             return _seeded_zero_table(rk, out_key, cnt, part_fn)
 
-        s, b = jax.jit(gen)(jax.random.fold_in(rkey, pi))
-        out_seeds[start0:start0 + cnt] = np.asarray(s)
-        out_b[start0:start0 + cnt] = np.asarray(b)
+        s, b = jax.jit(gen_p)(jax.random.fold_in(rkey, pi))
+        seeds_buf = upd_s(seeds_buf, s, jnp.int32(start0))
+        b_buf = upd_b(b_buf, b, jnp.int32(start0))
         del s, b
-    return jnp.asarray(out_seeds), jnp.asarray(out_b)
+        start0 += cnt
+        pi += 1
+    return seeds_buf, b_buf
 
 
 def _table_gen(total: int):
